@@ -1,0 +1,60 @@
+"""The jit-compiled plane-extraction pipeline.
+
+Composes the five (plus optional RANSAC) stages into one XLA program per
+(image_height, image_width, config) signature — the whole frame is processed
+on-device with a single dispatch, vs. the reference's six sequential C++
+stages (plane_extractor.cpp:187-283).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from deplex_tpu.config import Config
+from deplex_tpu.ops.cellstats import compute_cell_stats
+from deplex_tpu.ops.growing import grow_planes
+from deplex_tpu.ops.merge import merge_planes, rasterize_labels
+
+
+def extract_planes(points: jax.Array, *, image_height: int, image_width: int,
+                   config: Config) -> jax.Array:
+    """points: (H*W, 3) organized cloud -> (H*W,) int32 labels (0 = none).
+
+    Pure function of its inputs; jit/vmap/shard_map-compatible. Static args:
+    image shape + config.
+    """
+    P = min(config.patch_size, min(image_height, image_width))
+    if P == 0:
+        raise ValueError(
+            f"Error! Invalid config parameter: patchSize({config.patch_size})."
+            " patchSize has to be positive.")
+
+    stats = compute_cell_stats(points, image_height, image_width, config)
+    labels_map, segments = grow_planes(stats, config)
+    merge_labels, merged = merge_planes(labels_map, segments, config)
+    labels = rasterize_labels(labels_map, merge_labels, image_height, image_width, P)
+
+    if config.ransac_refinement:
+        from deplex_tpu.ops.ransac import refine_labels
+        labels = refine_labels(points, labels, config)
+    return labels
+
+
+@functools.partial(jax.jit, static_argnames=("image_height", "image_width", "config"))
+def extract_planes_jit(points, *, image_height: int, image_width: int, config: Config):
+    return extract_planes(points, image_height=image_height,
+                          image_width=image_width, config=config)
+
+
+def extract_planes_debug(points, *, image_height: int, image_width: int, config: Config):
+    """Un-jitted variant returning intermediates for tests/debugging."""
+    stats = compute_cell_stats(points, image_height, image_width, config)
+    labels_map, segments = grow_planes(stats, config)
+    merge_labels, merged = merge_planes(labels_map, segments, config)
+    P = min(config.patch_size, min(image_height, image_width))
+    labels = rasterize_labels(labels_map, merge_labels, image_height, image_width, P)
+    return {"stats": stats, "labels_map": labels_map, "segments": segments,
+            "merge_labels": merge_labels, "merged": merged, "labels": labels}
