@@ -39,9 +39,13 @@ def normal_bins(normal: jax.Array, planar: jax.Array, nr_bins: int) -> jax.Array
 
 
 def histogram_counts(bins: jax.Array, nr_bins: int) -> jax.Array:
-    """Scatter-add histogram over live (bin >= 0) cells -> (nr_bins^2,)."""
+    """Histogram over live (bin >= 0) cells -> (nr_bins^2,) int32.
+
+    Computed as a dense one-hot reduction rather than a scatter-add: TPU
+    scatters with duplicate indices serialize, while the (cells, bins)
+    equality mask + sum fuses into a fast VPU reduction.
+    """
     flat = bins.reshape(-1)
     size = nr_bins * nr_bins
-    # Consumed / non-planar cells (-1) are routed to a dumped extra slot.
-    idx = jnp.where(flat >= 0, flat, size)
-    return jnp.zeros(size + 1, dtype=jnp.int32).at[idx].add(1)[:size]
+    eq = flat[:, None] == jnp.arange(size, dtype=bins.dtype)[None, :]
+    return jnp.sum(eq, axis=0, dtype=jnp.int32)

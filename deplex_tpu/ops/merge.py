@@ -31,15 +31,19 @@ def plane_adjacency(labels_map: jax.Array, max_planes: int) -> jax.Array:
     right = lm[:-1, 1:]
     down = lm[1:, :-1]
 
+    ids = jnp.arange(1, max_planes + 1, dtype=lm.dtype)
+
     def pairs(x, y):
+        # Dense one-hot contraction instead of a scatter (TPU scatters with
+        # duplicate indices serialize): A[i,j] = any cell with (x=i+1, y=j+1).
         m = (x > 0) & (y > 0) & (x != y)
-        idx_a = jnp.where(m, x - 1, max_planes)
-        idx_b = jnp.where(m, y - 1, max_planes)
-        A = jnp.zeros((max_planes + 1, max_planes + 1), dtype=jnp.bool_)
-        return A.at[idx_a.reshape(-1), idx_b.reshape(-1)].set(True)
+        xf = jnp.where(m, x, 0).reshape(-1)
+        yf = jnp.where(m, y, 0).reshape(-1)
+        ox = (xf[:, None] == ids).astype(jnp.float32)
+        oy = (yf[:, None] == ids).astype(jnp.float32)
+        return (ox.T @ oy) > 0
 
     A = pairs(a, right) | pairs(a, down)
-    A = A[:max_planes, :max_planes]
     return A | A.T
 
 

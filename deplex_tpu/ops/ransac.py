@@ -1,0 +1,106 @@
+"""Stage 6 — batched RANSAC plane refinement.
+
+TPU-native equivalent of RTL::PlaneRANSAC (libs/rtl/include/rtl/RANSAC.hpp:25-98,
+Plane.hpp:13-56): instead of a serial hypothesize-and-verify loop with
+early exit, ALL ransac_max_iterations hypotheses per plane are generated and
+scored in one shot, and the best (minimum outlier count) model wins — at
+least as good a model as the reference's first-past-the-post early exit, and
+it maps onto two matmuls per plane.
+
+Per plane p:
+  models: 3 random in-plane points -> exact plane through them (the
+          reference's closed-form determinant expressions reduce to the
+          normalized cross-product plane; computed that way here)
+  loss[k] = #{ i in plane p : |n_k . x_i + d_k| >= threshold }
+  best    = argmin_k loss
+Pixels of p that are outliers of the best model are relabeled 0
+(plane_extractor.cpp:497-507).
+
+Randomness: jax PRNG (fixed seed by default) replaces the reference's
+default-seeded mt19937 — deterministic across runs either way, but the
+sampled hypotheses differ; conformance is property-based (refined MSE <=
+coarse MSE), matching the reference's own test strategy
+(cpp/tests/test_refinement.cpp:43-77).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from deplex_tpu.config import Config
+
+
+def _fit_3pt_plane(p0, p1, p2):
+    """Unit plane (n, d) through 3 points; NaN-safe on degeneracy.
+
+    Equivalent to PlaneEstimator::ComputeModel (Plane.hpp:13-50): those
+    determinant expressions are the plane through the 3 points with c = -1
+    before normalization; the cross-product form is the same plane.
+    """
+    n = jnp.cross(p1 - p0, p2 - p0)
+    nrm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / nrm  # degenerate triples -> nan -> model never wins
+    d = -jnp.sum(n * p0, axis=-1)
+    return n, d
+
+
+def refine_labels(points: jax.Array, labels: jax.Array, config: Config,
+                  key: jax.Array | None = None) -> jax.Array:
+    """points: (N, 3), labels: (N,) int32 -> refined labels."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    N = points.shape[0]
+    MAXP = config.max_planes
+    K = config.ransac_max_iterations
+    thr = jnp.float32(config.ransac_threshold)
+
+    pts = points.astype(jnp.float32)
+
+    # Group pixel ids by label so per-plane sampling is a gather:
+    # stable sort puts plane-p pixels at [offset[p], offset[p] + count[p]).
+    order = jnp.argsort(labels, stable=True)
+    sorted_labels = labels[order]
+    counts = jnp.zeros(MAXP + 1, jnp.int32).at[jnp.clip(labels, 0, MAXP)].add(1)
+    offsets = jnp.cumsum(counts) - counts  # start of each label block
+
+    plane_ids = jnp.arange(1, MAXP + 1)
+    keys = jax.random.split(key, MAXP)
+
+    def per_plane(p, k):
+        cnt = counts[p]
+        off = offsets[p]
+        # 3 sample indices per hypothesis; collisions de-duplicated by shift
+        # (the reference insists on distinct indices via std::set,
+        # RANSAC.hpp:87-90).
+        u = jax.random.randint(k, (K, 3), 0, jnp.maximum(cnt, 1))
+        u1 = u[:, 1] + (u[:, 1] == u[:, 0])
+        u2 = u[:, 2] + (u[:, 2] == u[:, 0]) + (u[:, 2] == u1)
+        idx = jnp.stack([u[:, 0], u1 % jnp.maximum(cnt, 1), u2 % jnp.maximum(cnt, 1)], 1)
+        pix = order[jnp.clip(off + idx, 0, N - 1)]          # (K, 3) pixel ids
+        tri = pts[pix]                                      # (K, 3, 3)
+        n, d = _fit_3pt_plane(tri[:, 0], tri[:, 1], tri[:, 2])
+        return n, d
+
+    def score_plane(carry, inp):
+        p, k = inp
+        n, d = per_plane(p, k)                              # (K,3), (K,)
+        mask = (labels == p).astype(jnp.float32)            # (N,)
+        # (N, K) distances via one matmul, outliers counted by a second.
+        err = pts @ n.T + d[None, :]
+        outlier = (jnp.abs(err) >= thr).astype(jnp.float32)
+        loss = mask @ outlier                               # (K,)
+        loss = jnp.where(jnp.isnan(loss), jnp.inf, loss)
+        best = jnp.argmin(loss)
+        return carry, (n[best], d[best])
+
+    _, (best_n, best_d) = jax.lax.scan(score_plane, None, (plane_ids, keys))
+
+    # Final inlier pass: each labeled pixel keeps its label iff it is an
+    # inlier of its plane's best model (FindInliers, RANSAC.hpp:53-62).
+    lbl_idx = jnp.clip(labels - 1, 0, MAXP - 1)
+    n_pix = best_n[lbl_idx]                                 # (N, 3)
+    d_pix = best_d[lbl_idx]
+    err = jnp.sum(pts * n_pix, axis=-1) + d_pix
+    keep = jnp.abs(err) < thr
+    return jnp.where((labels > 0) & ~keep, 0, labels)
