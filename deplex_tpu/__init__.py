@@ -20,6 +20,23 @@ Public API:
     >>> labels = extractor.process(image.transform_to_pcd(K))
 """
 
+import os as _os
+import pathlib as _pathlib
+
+# Persistent XLA compilation cache: pipeline signatures compile once per
+# machine, not once per process (remote TPU compiles are expensive).
+# Opt out with JAX_COMPILATION_CACHE_DIR="".
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    _cache = _pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+    try:
+        _cache.mkdir(exist_ok=True)
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir", str(_cache))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from deplex_tpu.config import Config
 from deplex_tpu.extractor import PlaneExtractor
 

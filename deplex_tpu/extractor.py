@@ -58,3 +58,19 @@ class PlaneExtractor:
         labels = extract_planes_jit(pts, image_height=self._height,
                                     image_width=self._width, config=self._config)
         return np.asarray(labels)
+
+    def process_depth(self, depth, intrinsics) -> np.ndarray:
+        """Extract planes straight from a (H, W) uint16 depth map.
+
+        TPU-native fast path (no reference analog): ships the 6x-smaller raw
+        depth to the device and back-projects there (pipeline.backproject_device).
+        """
+        from deplex_tpu.pipeline import extract_planes_from_depth_jit
+
+        d = np.asarray(depth)
+        if d.shape != (self._height, self._width):
+            raise ValueError(
+                f"Error! Depth shape {d.shape} != ({self._height}, {self._width})")
+        labels = extract_planes_from_depth_jit(
+            d, np.asarray(intrinsics, np.float32), config=self._config)
+        return np.asarray(labels)

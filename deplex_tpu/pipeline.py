@@ -49,6 +49,43 @@ def extract_planes_jit(points, *, image_height: int, image_width: int, config: C
                           image_width=image_width, config=config)
 
 
+def backproject_device(depth: jax.Array, intrinsics: jax.Array) -> jax.Array:
+    """On-device pinhole back-projection: (H, W) uint16/float depth ->
+    (H*W, 3) float32 organized cloud.
+
+    TPU-native fusion of the reference's host-side DepthImage::toPointCloud
+    (depth_image.cpp:55-78): the depth map is 6x smaller than the cloud, so
+    shipping raw uint16 to the device and expanding there cuts host->device
+    traffic by 6x and lets XLA fuse the expansion into stage 1's cell
+    gather.
+    """
+    H, W = depth.shape
+    K = intrinsics.astype(jnp.float32)
+    fx, cx = K[0, 0], K[0, 2]
+    fy, cy = K[1, 1], K[1, 2]
+    z = depth.astype(jnp.float32)
+    u = (jnp.arange(W, dtype=jnp.float32)[None, :] - cx) / fx
+    v = (jnp.arange(H, dtype=jnp.float32)[:, None] - cy) / fy
+    pts = jnp.stack([u * z, v * z, z], axis=-1)
+    return pts.reshape(H * W, 3)
+
+
+def extract_planes_from_depth(depth: jax.Array, intrinsics: jax.Array, *,
+                              config: Config) -> jax.Array:
+    """uint16 depth (H, W) + 3x3 intrinsics -> (H*W,) int32 labels.
+
+    Single fused XLA program: back-projection + all pipeline stages.
+    """
+    H, W = depth.shape
+    points = backproject_device(depth, intrinsics)
+    return extract_planes(points, image_height=H, image_width=W, config=config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def extract_planes_from_depth_jit(depth, intrinsics, *, config: Config):
+    return extract_planes_from_depth(depth, intrinsics, config=config)
+
+
 def extract_planes_debug(points, *, image_height: int, image_width: int, config: Config):
     """Un-jitted variant returning intermediates for tests/debugging."""
     stats = compute_cell_stats(points, image_height, image_width, config)

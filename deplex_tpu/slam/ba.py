@@ -1,0 +1,195 @@
+"""Plane-landmark bundle adjustment with Schur-complement reduction.
+
+Jointly refines K keyframe poses and M plane landmarks from plane
+observations — the distributed-backend capability named in BASELINE.json's
+north star (absent from the reference, SURVEY.md §2.4 / §5.7).
+
+Problem. Variables: poses T_i = (R_i, t_i) (camera-from-world, i < K, pose 0
+gauge-fixed) and landmarks eta_j (closest-point vectors, j < M). Observation
+(i, j): the frame-i extractor measured plane (n_obs, d_obs); residual is the
+camera-frame closest-point error
+
+    r_ij = cp(T_i * plane(eta_j)) - cp(n_obs, d_obs)        in R^3.
+
+Structure. One Gauss-Newton step builds
+    H = [H_pp  H_pl]        b = [b_p]
+        [H_pl' H_ll]            [b_l]
+with H_ll 3x3-block-diagonal (landmarks independent given poses), so the
+landmark block is eliminated in closed form (Schur complement):
+    S  = H_pp - H_pl H_ll^-1 H_pl'          (6K x 6K, small: K <= ~64)
+    g  = b_p  - H_pl H_ll^-1 b_l
+    dx_p = -S^-1 g ;  dx_l = -H_ll^-1 (b_l + H_pl' dx_p).
+
+Distribution. Observations are stored per keyframe ((K, P) slots), so
+sharding the KEYFRAME axis over the device mesh shards the expensive
+per-observation Jacobian/outer-product work; the small S, g, and the
+landmark-block accumulators are combined with psum over the mesh (ICI) —
+see ba_step_sharded. The dense math is identical on 1 device.
+
+All shapes static: K keyframes, P observation slots per frame, M landmarks;
+invalid slots carry zero weight.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from deplex_tpu.slam.lie import se3_exp
+from deplex_tpu.slam.planes import from_cp
+
+
+class BAProblem(NamedTuple):
+    """Static-shape BA inputs."""
+
+    R: jax.Array          # (K, 3, 3) initial rotations (camera-from-world)
+    t: jax.Array          # (K, 3) initial translations
+    eta: jax.Array        # (M, 3) initial landmark CP vectors
+    obs_normal: jax.Array  # (K, P, 3) measured plane normals (camera frame)
+    obs_d: jax.Array      # (K, P) measured offsets
+    obs_lm: jax.Array     # (K, P) int32 landmark index (clip-safe; weight 0 if none)
+    obs_w: jax.Array      # (K, P) observation weights (0 = empty slot)
+
+
+class BAState(NamedTuple):
+    R: jax.Array
+    t: jax.Array
+    eta: jax.Array
+    cost: jax.Array
+
+
+def _residual_and_jac(Ri, ti, eta_j, n_obs, d_obs):
+    """r_ij (3,) plus Jacobians wrt pose twist (3,6) and landmark (3,3).
+
+    Uses jax.jacfwd on the closed-form residual — 3x3/3x6 Jacobians are tiny;
+    XLA fuses the forward-mode duals into the same kernels.
+    """
+
+    def res(xi, eta):
+        dR, dt = se3_exp(xi)
+        R = dR @ Ri
+        t = jnp.einsum("ij,j->i", dR, ti) + dt
+        n_w, d_w = from_cp(eta)
+        n_c = R @ n_w
+        d_c = d_w - jnp.dot(n_c, t)
+        return (-d_c) * n_c - (-d_obs) * n_obs  # cp difference
+
+    xi0 = jnp.zeros(6, dtype=Ri.dtype)
+    r = res(xi0, eta_j)
+    Jp = jax.jacfwd(res, argnums=0)(xi0, eta_j)   # (3, 6)
+    Jl = jax.jacfwd(res, argnums=1)(xi0, eta_j)   # (3, 3)
+    return r, Jp, Jl
+
+
+def _accumulate(problem: BAProblem, M: int):
+    """Per-device accumulation over this shard's keyframes.
+
+    Returns (Hpp (K,K,6,6) — actually only diagonal blocks are nonzero per
+    observation, but cross terms enter via the Schur product, so we keep the
+    small dense form —, Hll (M,3,3), Hpl (K,M,6,3), bp (K,6), bl (M,3),
+    cost ()). K here is the LOCAL shard size.
+    """
+    K, P = problem.obs_d.shape
+
+    def per_frame(Ri, ti, n_obs, d_obs, lm, w):
+        eta_sel = problem.eta[jnp.clip(lm, 0, M - 1)]      # (P, 3)
+        r, Jp, Jl = jax.vmap(_residual_and_jac, in_axes=(None, None, 0, 0, 0))(
+            Ri, ti, eta_sel, n_obs, d_obs)
+        Hpp_i = jnp.einsum("p,pik,pil->kl", w, Jp, Jp)      # (6, 6)
+        bp_i = jnp.einsum("p,pik,pi->k", w, Jp, r)          # (6,)
+        # Landmark-indexed accumulations via one-hot (dup-index scatters
+        # serialize on TPU; M is small).
+        onehot = (lm[:, None] == jnp.arange(M)[None, :]).astype(r.dtype) * w[:, None]
+        Hll_i = jnp.einsum("pm,pik,pil->mkl", onehot, Jl, Jl)   # (M, 3, 3)
+        bl_i = jnp.einsum("pm,pik,pi->mk", onehot, Jl, r)       # (M, 3)
+        Hpl_i = jnp.einsum("pm,pik,pil->mkl", onehot, Jp, Jl)   # (M, 6, 3)
+        cost_i = jnp.sum(w * jnp.sum(r * r, -1))
+        return Hpp_i, bp_i, Hll_i, bl_i, Hpl_i, cost_i
+
+    Hpp, bp, Hll, bl, Hpl, cost = jax.vmap(per_frame)(
+        problem.R, problem.t, problem.obs_normal, problem.obs_d,
+        problem.obs_lm, problem.obs_w)
+    return Hpp, bp, jnp.sum(Hll, 0), jnp.sum(bl, 0), Hpl, jnp.sum(cost)
+
+
+def ba_step(problem: BAProblem, *, damping: float = 1e-4,
+            gauge_fix_first: bool = True, axis_name: str | None = None) -> BAState:
+    """One damped Gauss-Newton step with Schur elimination of landmarks.
+
+    axis_name: if set, the step is running inside shard_map over that mesh
+    axis with the KEYFRAME axis sharded; global reductions go over psum.
+    """
+    K, P = problem.obs_d.shape
+    M = problem.eta.shape[0]
+
+    Hpp_blk, bp, Hll, bl, Hpl, cost = _accumulate(problem, M)
+
+    # The per-observation Jacobian work above is the expensive part and stays
+    # sharded; the Schur assembly below is tiny (K <= ~64 poses), so in the
+    # sharded case the per-frame blocks are gathered and assembled replicated
+    # on every device — landmark blocks reduce with psum over ICI.
+    if axis_name is not None:
+        Hll = jax.lax.psum(Hll, axis_name)
+        bl = jax.lax.psum(bl, axis_name)
+        cost = jax.lax.psum(cost, axis_name)
+        Hpp_all = jax.lax.all_gather(Hpp_blk, axis_name, axis=0, tiled=True)
+        bp_all = jax.lax.all_gather(bp, axis_name, axis=0, tiled=True)
+        Hpl_all = jax.lax.all_gather(Hpl, axis_name, axis=0, tiled=True)
+    else:
+        Hpp_all, bp_all, Hpl_all = Hpp_blk, bp, Hpl
+    Kg = bp_all.shape[0]
+
+    # Invert the landmark blocks (regularized; unobserved landmarks stay put).
+    Hll_reg = Hll + damping * jnp.eye(3, dtype=Hll.dtype)
+    Hll_inv = jnp.linalg.inv(Hll_reg)
+
+    # Schur complement:
+    # S[a, b] = delta_ab Hpp[a] - sum_j Hpl[a, j] Hll_inv[j] Hpl[b, j]^T
+    W = jnp.einsum("amkc,mcd->amkd", Hpl_all, Hll_inv)      # (Kg, M, 6, 3)
+    U = jnp.einsum("amkd,bmld->abkl", W, Hpl_all)           # (Kg, Kg, 6, 6)
+    g = bp_all - jnp.einsum("amkd,md->ak", W, bl)           # (Kg, 6)
+
+    S = -U
+    S = S.at[jnp.arange(Kg), jnp.arange(Kg)].add(Hpp_all)
+    S = S + damping * jnp.eye(6, dtype=S.dtype)[None, None] * \
+        (jnp.arange(Kg)[:, None, None, None] == jnp.arange(Kg)[None, :, None, None])
+    if gauge_fix_first:
+        # Pin pose 0: zero its rows/cols, identity diagonal, zero gradient.
+        mask = (jnp.arange(Kg) != 0)
+        S = S * mask[:, None, None, None] * mask[None, :, None, None]
+        S = S.at[0, 0].set(jnp.eye(6, dtype=S.dtype))
+        g = g * mask[:, None]
+    Sd = S.transpose(0, 2, 1, 3).reshape(Kg * 6, Kg * 6)
+    dxp_all = -jnp.linalg.solve(Sd, g.reshape(-1)).reshape(Kg, 6)
+
+    if axis_name is not None:
+        i0 = jax.lax.axis_index(axis_name) * K
+        dxp = jax.lax.dynamic_slice_in_dim(dxp_all, i0, K, axis=0)
+    else:
+        dxp = dxp_all
+
+    # Landmark back-substitution: dx_l = -Hll_inv (bl + sum_a Hpl[a]^T dxp_a).
+    rhs_local = jnp.einsum("amkd,ak->md", Hpl, dxp)
+    if axis_name is not None:
+        rhs_local = jax.lax.psum(rhs_local, axis_name)
+    dxl = -jnp.einsum("mcd,md->mc", Hll_inv, bl + rhs_local)
+
+    dR, dt = se3_exp(dxp)
+    R_new = dR @ problem.R
+    t_new = jnp.einsum("kij,kj->ki", dR, problem.t) + dt
+    eta_new = problem.eta + dxl
+    return BAState(R=R_new, t=t_new, eta=eta_new, cost=cost)
+
+
+def run_ba(problem: BAProblem, *, iterations: int = 10, damping: float = 1e-4):
+    """Fixed-iteration Gauss-Newton BA (single device / single shard)."""
+
+    def body(_, prob):
+        state = ba_step(prob, damping=damping)
+        return prob._replace(R=state.R, t=state.t, eta=state.eta)
+
+    final = jax.lax.fori_loop(0, iterations, body, problem)
+    state = ba_step(final, damping=damping)  # for the cost
+    return BAState(R=final.R, t=final.t, eta=final.eta, cost=state.cost)

@@ -1,0 +1,115 @@
+"""Pose-graph optimization over SE(3) relative-pose constraints.
+
+Backend counterpart to ba.py for loop-closure style problems: nodes are
+keyframe poses, edges carry measured relative transforms. Residual for edge
+(a, b) with measurement (R_ab, t_ab):
+
+    r = log_se3( (T_a^-1 T_b)^-1 * T_ab^meas )   in R^6 (approximated by
+        the first-order split: so3_log of the rotation part + translation
+        difference — standard chordal-style GN that converges for the
+        small-error regime of odometry chains with loop closures).
+
+Gauss-Newton with Jacobians from jax.jacfwd, fixed iterations, dense
+(6K x 6K) solve — K is a keyframe window (<= a few hundred), so the solve
+is tiny for the MXU. Edges are stored as fixed-capacity arrays with weights
+(0 = padding); sharding the EDGE axis over a mesh and psum-ing H and b
+distributes the Jacobian work (pose_graph_step's axis_name, same pattern
+as ba.ba_step).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from deplex_tpu.slam.lie import se3_exp, so3_log
+
+
+class PoseGraph(NamedTuple):
+    R: jax.Array        # (K, 3, 3) node rotations (world-from-key or any fixed convention)
+    t: jax.Array        # (K, 3)
+    edge_a: jax.Array   # (E,) int32 source node
+    edge_b: jax.Array   # (E,) int32 target node
+    meas_R: jax.Array   # (E, 3, 3) measured R_a^-1 R_b
+    meas_t: jax.Array   # (E, 3) measured t in a's frame
+    weight: jax.Array   # (E,) edge weights, 0 = padding
+
+
+def _edge_residual(Ra, ta, Rb, tb, mR, mt):
+    """6-residual of one edge given node poses."""
+    R_ab = Ra.T @ Rb
+    t_ab = Ra.T @ (tb - ta)
+    r_rot = so3_log(mR.T @ R_ab)
+    r_tr = t_ab - mt
+    return jnp.concatenate([r_rot, r_tr])
+
+
+def pose_graph_step(g: PoseGraph, *, damping: float = 1e-6,
+                    axis_name: str | None = None) -> PoseGraph:
+    """One damped GN step; node 0 gauge-fixed. Edge axis may be sharded."""
+    K = g.R.shape[0]
+
+    def residual_wrt_updates(xi_a, xi_b, Ra, ta, Rb, tb, mR, mt):
+        dRa, dta = se3_exp(xi_a)
+        dRb, dtb = se3_exp(xi_b)
+        return _edge_residual(dRa @ Ra, dRa @ ta + dta,
+                              dRb @ Rb, dRb @ tb + dtb, mR, mt)
+
+    zeros6 = jnp.zeros(6, dtype=g.t.dtype)
+
+    def per_edge(a, b, mR, mt, w):
+        Ra, ta = g.R[a], g.t[a]
+        Rb, tb = g.R[b], g.t[b]
+        r = residual_wrt_updates(zeros6, zeros6, Ra, ta, Rb, tb, mR, mt)
+        Ja = jax.jacfwd(residual_wrt_updates, argnums=0)(
+            zeros6, zeros6, Ra, ta, Rb, tb, mR, mt)
+        Jb = jax.jacfwd(residual_wrt_updates, argnums=1)(
+            zeros6, zeros6, Ra, ta, Rb, tb, mR, mt)
+        return r * w, Ja * w, Jb * w
+
+    r, Ja, Jb = jax.vmap(per_edge)(g.edge_a, g.edge_b, g.meas_R, g.meas_t,
+                                   g.weight)
+
+    # Dense assembly via one-hot node selectors (K small).
+    onehot_a = (g.edge_a[:, None] == jnp.arange(K)[None, :]).astype(r.dtype)
+    onehot_b = (g.edge_b[:, None] == jnp.arange(K)[None, :]).astype(r.dtype)
+    # J_e stacked into global column space: J_global[e] = 1_a(x)Ja + 1_b(x)Jb.
+    H = (jnp.einsum("ea,eik,eb,eil->akbl", onehot_a, Ja, onehot_a, Ja)
+         + jnp.einsum("ea,eik,eb,eil->akbl", onehot_a, Ja, onehot_b, Jb)
+         + jnp.einsum("ea,eik,eb,eil->akbl", onehot_b, Jb, onehot_a, Ja)
+         + jnp.einsum("ea,eik,eb,eil->akbl", onehot_b, Jb, onehot_b, Jb))
+    b_vec = (jnp.einsum("ea,eik,ei->ak", onehot_a, Ja, r)
+             + jnp.einsum("ea,eik,ei->ak", onehot_b, Jb, r))
+
+    if axis_name is not None:
+        H = jax.lax.psum(H, axis_name)
+        b_vec = jax.lax.psum(b_vec, axis_name)
+
+    # Gauge fix node 0.
+    mask = (jnp.arange(K) != 0).astype(H.dtype)
+    H = H * mask[:, None, None, None] * mask[None, None, :, None]
+    H = H.at[0, :, 0, :].set(jnp.eye(6, dtype=H.dtype))
+    b_vec = b_vec * mask[:, None]
+
+    Hd = H.reshape(K * 6, K * 6) + damping * jnp.eye(K * 6, dtype=H.dtype)
+    dx = -jnp.linalg.solve(Hd, b_vec.reshape(-1)).reshape(K, 6)
+    dR, dt = se3_exp(dx)
+    return g._replace(R=dR @ g.R, t=jnp.einsum("kij,kj->ki", dR, g.t) + dt)
+
+
+def optimize_pose_graph(g: PoseGraph, *, iterations: int = 20,
+                        damping: float = 1e-6) -> PoseGraph:
+    def body(_, graph):
+        return pose_graph_step(graph, damping=damping)
+
+    return jax.lax.fori_loop(0, iterations, body, g)
+
+
+def graph_cost(g: PoseGraph) -> jax.Array:
+    def per_edge(a, b, mR, mt, w):
+        return w * jnp.sum(_edge_residual(g.R[a], g.t[a], g.R[b], g.t[b], mR, mt) ** 2)
+
+    return jnp.sum(jax.vmap(per_edge)(g.edge_a, g.edge_b, g.meas_R, g.meas_t,
+                                      g.weight))
