@@ -56,6 +56,9 @@ class Config:
     max_planes: int = 64
     # Upper bound on region-growing rounds (consumed-histogram loop).
     max_region_growing_rounds: int = 256
+    # Region-growing backend: None = auto (Pallas kernel on TPU when the
+    # grid fits its VMEM budget, XLA loop otherwise), True/False = force.
+    use_pallas_growing: bool | None = None
 
     def __post_init__(self):
         if self.patch_size < 0:
@@ -134,9 +137,16 @@ _INI_KEYS = {
     "maxRegionGrowingRounds": "max_region_growing_rounds",
 }
 
+def _parse_optional_bool(v):
+    if v is None or v == "":
+        return None
+    return bool(int(v))
+
+
 _FIELD_TYPES = {f.name: f.type for f in dataclasses.fields(Config)}
 # dataclasses stringifies annotations under `from __future__ import annotations`.
 _FIELD_TYPES = {
-    name: {"int": int, "float": float, "bool": bool}[t if isinstance(t, str) else t.__name__]
+    name: {"int": int, "float": float, "bool": bool,
+           "bool | None": _parse_optional_bool}[t if isinstance(t, str) else t.__name__]
     for name, t in _FIELD_TYPES.items()
 }

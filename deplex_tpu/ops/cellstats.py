@@ -58,7 +58,7 @@ def compute_cell_stats(points: jax.Array, image_height: int, image_width: int,
     P = min(config.patch_size, min(H, W))
     gh, gw = H // P, W // P
 
-    pts = points.reshape(H, W, 3)[: gh * P, : gw * P, :].astype(jnp.float32)
+    pts = jnp.asarray(points).reshape(H, W, 3)[: gh * P, : gw * P, :].astype(jnp.float32)
     # (gh, gw, P*P, 3) with row-major in-cell ordering (cell_grid.cpp:69-83).
     cells = pts.reshape(gh, P, gw, P, 3).transpose(0, 2, 1, 3, 4).reshape(gh, gw, P * P, 3)
     z = cells[..., 2]                                   # (gh, gw, P*P)

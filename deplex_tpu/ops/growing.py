@@ -10,14 +10,22 @@ restricted to unassigned planar cells — BFS order does not change this set,
 because a cell that fails the test from one popped neighbor is re-tested by
 every other popped neighbor (plane_extractor.cpp:372-387).
 
-So each round:
-  1. argmax over the histogram of live cells        (scatter-add + argmax)
-  2. seed = min-MSE cell of the dominant bin        (masked argmin)
-  3. flood = iterated 4-neighbor mask propagation   (lax.while_loop stencil)
-  4. consume region, fit merged plane via Chan-combined scatter, accept/reject
+Structure (shared with the Pallas fast path in ops/pallas_growing.py):
 
-The admissibility edge masks are precomputed ONCE per frame (they depend only
-on per-cell stats), so one flood iteration is four shifted boolean ANDs.
+  1. `grow_rounds` — the sequential while_loop: each round picks the
+     dominant histogram bin, seeds at its min-MSE cell, flood-fills, and
+     CONSUMES the region. The only outputs are a per-cell `round_map`
+     (which round consumed the cell) and packed per-round sufficient
+     statistics — deliberately NO eigensolves or gating inside the loop,
+     which keeps the sequential body to ~a hundred cheap vector ops.
+  2. `finalize_rounds` — everything order-independent, vectorized over all
+     rounds at once: batched plane fits, size/planarity gates, slot
+     assignment by accept order (prefix sum), per-cell labels via one
+     gather, and the PlaneSegments table via a one-hot contraction.
+
+This split is semantics-preserving: the reference also consumes cells
+regardless of whether the region passes its gates (plane_extractor.cpp:
+322-343), so acceptance never feeds back into the growing loop.
 
 Plane slots are fixed at config.max_planes for static shapes; the reference
 has no cap (observed plane counts: TUM 34, ICL 45; default cap 64).
@@ -48,6 +56,21 @@ class PlaneSegments(NamedTuple):
     d: jax.Array             # (MAXP,)
     mse: jax.Array           # (MAXP,)
     score: jax.Array         # (MAXP,)
+
+
+class RoundData(NamedTuple):
+    """Output contract of a growing loop (XLA or Pallas)."""
+
+    round_map: jax.Array     # (gh, gw) int32 — round that consumed the cell, -1
+    sums: jax.Array          # (R_MAX, 16) f32 — packed per-round statistics
+    nr_rounds: jax.Array     # () int32
+
+# sums row layout: [n_pts, sum_x, sum_y, sum_z,
+#                   sc_xx, sc_xy, sc_xz, sc_yy, sc_yz, sc_zz,
+#                   size_cells, 0...]
+_N, _SX, _SY, _SZ = 0, 1, 2, 3
+_XX, _XY, _XZ, _YY, _YZ, _ZZ = 4, 5, 6, 7, 8, 9
+_SIZE = 10
 
 
 def _fit_plane(scatter, coord_sum, n):
@@ -136,36 +159,21 @@ def flood_fill(seed_mask: jax.Array, allowed: jax.Array, edges, hops_per_step: i
     return active
 
 
-def grow_planes(stats: CellStats, config: Config):
-    """Full region-growing loop. Returns (labels_map (gh,gw) int32, segments).
-
-    labels_map value k > 0 means plane slot k-1 in the returned PlaneSegments.
-    """
+def grow_rounds(stats: CellStats, config: Config) -> RoundData:
+    """The sequential consume-the-histogram loop (XLA reference path)."""
     gh, gw = stats.planar.shape
-    MAXP = config.max_planes
+    R_MAX = config.max_region_growing_rounds
     nbins = config.histogram_bins_per_coord
     edges = admissibility_edges(stats, config)
     bins0 = normal_bins(stats.normal, stats.planar, nbins)
 
     cell_flat = jnp.arange(gh * gw).reshape(gh, gw)
 
-    segments0 = PlaneSegments(
-        nr_planes=jnp.int32(0),
-        n=jnp.zeros(MAXP, jnp.float32),
-        coord_sum=jnp.zeros((MAXP, 3), jnp.float32),
-        scatter=jnp.zeros((MAXP, 3, 3), jnp.float32),
-        normal=jnp.zeros((MAXP, 3), jnp.float32),
-        mean=jnp.zeros((MAXP, 3), jnp.float32),
-        d=jnp.zeros(MAXP, jnp.float32),
-        mse=jnp.zeros(MAXP, jnp.float32),
-        score=jnp.zeros(MAXP, jnp.float32),
-    )
-
     class LoopState(NamedTuple):
         bins: jax.Array          # (gh, gw) int32, -1 = consumed/non-planar
         unassigned: jax.Array    # (gh, gw) bool
-        labels_map: jax.Array    # (gh, gw) int32
-        segments: PlaneSegments
+        round_map: jax.Array     # (gh, gw) int32
+        sums: jax.Array          # (R_MAX, 16) f32
         remaining: jax.Array     # () int32
         stop: jax.Array          # () bool
         rounds: jax.Array        # () int32
@@ -173,15 +181,15 @@ def grow_planes(stats: CellStats, config: Config):
     state0 = LoopState(
         bins=bins0,
         unassigned=stats.planar,
-        labels_map=jnp.zeros((gh, gw), jnp.int32),
-        segments=segments0,
+        round_map=jnp.full((gh, gw), -1, jnp.int32),
+        sums=jnp.zeros((R_MAX, 16), jnp.float32),
         remaining=jnp.sum(stats.planar).astype(jnp.int32),
         stop=jnp.bool_(False),
         rounds=jnp.int32(0),
     )
 
     def cond(s: LoopState):
-        return (s.remaining > 0) & (~s.stop) & (s.rounds < config.max_region_growing_rounds)
+        return (s.remaining > 0) & (~s.stop) & (s.rounds < R_MAX)
 
     def body(s: LoopState):
         # 1. Dominant bin of live cells (first-max tie-break = argmax).
@@ -204,10 +212,12 @@ def grow_planes(stats: CellStats, config: Config):
         bins = jnp.where(region, -1, s.bins)
         unassigned = s.unassigned & ~region
         remaining = s.remaining - size
+        round_map = jnp.where(region, s.rounds, s.round_map)
 
-        # 5. Merged plane fit. The reference seeds the accumulator with a COPY
-        # of the seed cell and then adds every region cell including the seed,
-        # so the seed is counted twice (plane_extractor.cpp:318-323).
+        # 5. Region sufficient statistics. The reference seeds the
+        # accumulator with a COPY of the seed cell and then adds every
+        # region cell including the seed, so the seed is counted twice
+        # (plane_extractor.cpp:318-323).
         wgt = region.astype(jnp.float32) + (seed_mask & region).astype(jnp.float32)
         n_tot = jnp.sum(wgt) * stats.nr_pts
         sum_tot = jnp.einsum("gh,ghi->i", wgt, stats.coord_sum)
@@ -216,33 +226,93 @@ def grow_planes(stats: CellStats, config: Config):
         # Chan combine about the global mean: no catastrophic cancellation.
         sc_tot = (jnp.einsum("gh,ghij->ij", wgt, stats.scatter)
                   + stats.nr_pts * jnp.einsum("gh,ghi,ghj->ij", wgt, dmu, dmu))
-        normal, mean, d, mse, score = _fit_plane(sc_tot, sum_tot, jnp.maximum(n_tot, 1.0))
+        row = jnp.zeros(16, jnp.float32)
+        row = row.at[_N].set(n_tot)
+        row = jax.lax.dynamic_update_slice(row, sum_tot, (_SX,))
+        packed = jnp.stack([sc_tot[0, 0], sc_tot[0, 1], sc_tot[0, 2],
+                            sc_tot[1, 1], sc_tot[1, 2], sc_tot[2, 2]])
+        row = jax.lax.dynamic_update_slice(row, packed, (_XX,))
+        row = row.at[_SIZE].set(size.astype(jnp.float32))
+        sums = jax.lax.dynamic_update_slice(s.sums, row[None], (s.rounds, 0))
 
-        big_enough = size >= config.min_region_growing_cells_activated
-        has_slot = s.segments.nr_planes < MAXP
-        accept = big_enough & (score > config.min_region_planarity_score) & has_slot & ~stop
-
-        slot = s.segments.nr_planes
-        new_id = slot + 1
-        labels_map = jnp.where(region & accept, new_id, s.labels_map)
-
-        def set_slot(arr, val):
-            return jnp.where(accept, arr.at[slot].set(val), arr)
-
-        segments = PlaneSegments(
-            nr_planes=s.segments.nr_planes + accept.astype(jnp.int32),
-            n=set_slot(s.segments.n, n_tot),
-            coord_sum=set_slot(s.segments.coord_sum, sum_tot),
-            scatter=set_slot(s.segments.scatter, sc_tot),
-            normal=set_slot(s.segments.normal, normal),
-            mean=set_slot(s.segments.mean, mean),
-            d=set_slot(s.segments.d, d),
-            mse=set_slot(s.segments.mse, mse),
-            score=set_slot(s.segments.score, score),
-        )
-        return LoopState(bins=bins, unassigned=unassigned, labels_map=labels_map,
-                         segments=segments, remaining=remaining, stop=stop,
+        return LoopState(bins=bins, unassigned=unassigned, round_map=round_map,
+                         sums=sums, remaining=remaining, stop=stop,
                          rounds=s.rounds + 1)
 
     final = jax.lax.while_loop(cond, body, state0)
-    return final.labels_map, final.segments
+    return RoundData(round_map=final.round_map, sums=final.sums,
+                     nr_rounds=final.rounds)
+
+
+def finalize_rounds(rounds: RoundData, config: Config):
+    """Order-independent post-pass: batched fits, gates, slots, labels.
+
+    Returns (labels_map (gh, gw) int32, PlaneSegments) — same contract as
+    the old fused loop; vectorized over all rounds at once (one batched
+    eigensolve instead of one per round).
+    """
+    R_MAX, MAXP = rounds.sums.shape[0], config.max_planes
+    sums = rounds.sums
+    n = jnp.maximum(sums[:, _N], 1.0)
+    coord_sum = sums[:, _SX:_SX + 3]
+    sc = sums[:, _XX:_XX + 6]
+    scatter = jnp.stack([
+        jnp.stack([sc[:, 0], sc[:, 1], sc[:, 2]], -1),
+        jnp.stack([sc[:, 1], sc[:, 3], sc[:, 4]], -1),
+        jnp.stack([sc[:, 2], sc[:, 4], sc[:, 5]], -1),
+    ], -2)                                                   # (R_MAX, 3, 3)
+    size = sums[:, _SIZE]
+
+    normal, mean, d, mse, score = _fit_plane(scatter, coord_sum, n)
+
+    live = jnp.arange(R_MAX) < rounds.nr_rounds
+    accept = (live & (size >= config.min_region_growing_cells_activated)
+              & (score > config.min_region_planarity_score))
+    slot = jnp.cumsum(accept.astype(jnp.int32)) - 1          # accept-order slot
+    accept = accept & (slot < MAXP)
+    nr_planes = jnp.sum(accept).astype(jnp.int32)
+
+    # Per-cell labels: round -> slot+1 (0 for rejected/unconsumed).
+    label_of_round = jnp.where(accept, slot + 1, 0).astype(jnp.int32)
+    lut = jnp.concatenate([jnp.zeros(1, jnp.int32), label_of_round])
+    labels_map = lut[rounds.round_map + 1]
+
+    # Segment table via one-hot round->slot contraction (dup-free scatter).
+    onehot = (accept[:, None] & (slot[:, None] == jnp.arange(MAXP)[None, :])
+              ).astype(jnp.float32)                          # (R_MAX, MAXP)
+    seg_n = jnp.einsum("rm,r->m", onehot, sums[:, _N])
+    seg_sum = jnp.einsum("rm,ri->mi", onehot, coord_sum)
+    seg_scatter = jnp.einsum("rm,rij->mij", onehot, scatter)
+    seg_normal = jnp.einsum("rm,ri->mi", onehot, normal)
+    seg_mean = jnp.einsum("rm,ri->mi", onehot, mean)
+    seg_d = jnp.einsum("rm,r->m", onehot, d)
+    seg_mse = jnp.einsum("rm,r->m", onehot, mse)
+    seg_score = jnp.einsum("rm,r->m", onehot, score)
+
+    segments = PlaneSegments(nr_planes=nr_planes, n=seg_n, coord_sum=seg_sum,
+                             scatter=seg_scatter, normal=seg_normal,
+                             mean=seg_mean, d=seg_d, mse=seg_mse,
+                             score=seg_score)
+    return labels_map, segments
+
+
+def grow_planes(stats: CellStats, config: Config):
+    """Full region-growing stage: rounds loop + vectorized finalize.
+
+    labels_map value k > 0 means plane slot k-1 in the returned PlaneSegments.
+    Dispatches to the Pallas kernel for grids that fit its VMEM budget when
+    enabled (config.use_pallas_growing: True / False / None = auto).
+    """
+    use_pallas = config.use_pallas_growing
+    if use_pallas is None or use_pallas:
+        from deplex_tpu.ops.pallas_growing import grow_rounds_pallas, pallas_supported
+
+        if pallas_supported(stats.planar.shape, config):
+            rounds = grow_rounds_pallas(stats, config)
+            return finalize_rounds(rounds, config)
+        if use_pallas:
+            raise ValueError(
+                f"use_pallas_growing=True but grid {stats.planar.shape} "
+                "exceeds the kernel's VMEM budget")
+    rounds = grow_rounds(stats, config)
+    return finalize_rounds(rounds, config)

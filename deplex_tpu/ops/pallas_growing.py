@@ -1,0 +1,296 @@
+"""Pallas TPU kernel for the region-growing rounds loop.
+
+The XLA while_loop in ops/growing.py is latency-bound: ~40 sequential
+rounds x ~150 small HLO ops each, every op paying fixed dispatch overhead.
+This kernel runs the ENTIRE loop on-core: the cell grid lives in VMEM
+(padded to (8,128)-aligned tiles) and every round is a handful of VPU
+vector ops, so the stage drops from milliseconds to microseconds.
+
+Same output contract as growing.grow_rounds (RoundData) — the batched
+fits/gates/labels post-pass (growing.finalize_rounds) is shared.
+
+Algorithmic notes:
+  * The mutable normals histogram is kept as a (8,128) f32 register tile
+    (bins <= 1024). Consuming a region must decrement per-bin counts —
+    a scatter — which the VPU has no fast path for; instead the kernel
+    exploits orientation coherence: a grown region spans only a few
+    distinct bins (its cells' normals agree to ~25 degrees), so an inner
+    while loop extracts one distinct bin value at a time (masked argmin),
+    counts its region cells with one comparison+reduction, and subtracts.
+  * Flood fill is 4-neighbor mask propagation with zero-padded shifts
+    (slice+concat, which Mosaic lowers to lane/sublane shifts), 8 hops per
+    fixpoint check, exactly like the XLA path.
+  * Seed double-counting (reference plane_extractor.cpp:318-323) is
+    reproduced by weighting the seed cell 2x in the region sums.
+
+VMEM budget: ~17 f32 planes of (PH, PW) + (R_MAX, 128) output; supported()
+gates grids whose padded planes fit comfortably.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deplex_tpu.config import Config
+from deplex_tpu.ops.cellstats import CellStats
+from deplex_tpu.ops.histogram import normal_bins
+
+_LANES = 128
+_SUBLANES = 8
+
+
+def _pad_to(x, ph, pw, fill):
+    gh, gw = x.shape[:2]
+    return jnp.pad(x, ((0, ph - gh), (0, pw - gw)) + ((0, 0),) * (x.ndim - 2),
+                   constant_values=fill)
+
+
+def _round_up(n, m):
+    return (n + m - 1) // m * m
+
+
+def pallas_supported(grid_shape, config: Config) -> bool:
+    """True if the kernel's VMEM plan fits this grid (and we're on TPU)."""
+    gh, gw = grid_shape
+    ph, pw = _round_up(gh, _SUBLANES), _round_up(gw, _LANES)
+    nbins2 = config.histogram_bins_per_coord ** 2
+    if nbins2 > _SUBLANES * _LANES:
+        return False
+    # ~20 f32 planes of state + inputs, plus outputs; keep well under 16MB.
+    vmem = 22 * ph * pw * 4 + config.max_region_growing_rounds * _LANES * 4
+    if vmem > 8 * 1024 * 1024:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _shift(x, dr, dc):
+    """Zero-padded shift: result[r, c] = x[r-dr, c-dc]."""
+    z_row = jnp.zeros((1, x.shape[1]), x.dtype)
+    z_col = jnp.zeros((x.shape[0], 1), x.dtype)
+    if dr == 1:
+        x = jnp.concatenate([z_row, x[:-1, :]], axis=0)
+    elif dr == -1:
+        x = jnp.concatenate([x[1:, :], z_row], axis=0)
+    if dc == 1:
+        x = jnp.concatenate([z_col, x[:, :-1]], axis=1)
+    elif dc == -1:
+        x = jnp.concatenate([x[:, 1:], z_col], axis=1)
+    return x
+
+
+def _kernel(nr_pts_ref, planar_ref, bins_ref, mse_ref, eu_ref, ed_ref, el_ref,
+            er_ref, csx_ref, csy_ref, csz_ref, mx_ref, my_ref, mz_ref,
+            sxx_ref, sxy_ref, sxz_ref, syy_ref, syz_ref, szz_ref,
+            round_map_ref, sums_ref, nrounds_ref, *,
+            r_max: int, min_candidates: int, hist_rows: int):
+    PH, PW = planar_ref.shape
+    f32 = jnp.float32
+    nr_pts = nr_pts_ref[0, 0]
+
+    planar = planar_ref[:]
+    bins = bins_ref[:]
+    mse = mse_ref[:]
+    eu, ed, el, er = eu_ref[:], ed_ref[:], el_ref[:], er_ref[:]
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (PH, PW), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (PH, PW), 1)
+    flat_iota = row_iota * PW + col_iota
+    big = jnp.int32(PH * PW + 1)
+
+    hrow_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 0)
+    hcol_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 1)
+    hbin_iota = hrow_iota * _LANES + hcol_iota
+
+    # Initial histogram: count cells per bin — built once with the same
+    # coherence trick used for decrements (distinct initial bins <= nbins^2,
+    # but typically only tens are populated).
+    def hist_init_cond(state):
+        _, live = state
+        return jnp.sum(live) > 0.0
+
+    def hist_init_body(state):
+        hist, live = state
+        # Pick the bin of the lowest-index live cell.
+        sel = jnp.min(jnp.where(live > 0, flat_iota, big))
+        b = jnp.sum(jnp.where(flat_iota == sel, bins, 0))
+        members = (bins == b) & (live > 0)
+        cnt = jnp.sum(members.astype(f32))
+        hist = hist + jnp.where(hbin_iota == b, cnt, 0.0)
+        live = jnp.where(members, 0.0, live)
+        return hist, live
+
+    hist0 = jnp.zeros((_SUBLANES, _LANES), f32)
+    hist, _ = jax.lax.while_loop(hist_init_cond, hist_init_body,
+                                 (hist0, planar))
+
+    round_map_ref[:] = jnp.full((PH, PW), -1, jnp.int32)
+    sums_ref[:] = jnp.zeros_like(sums_ref)
+    remaining0 = jnp.sum(planar)
+
+    def cond(state):
+        r, remaining, stop, _, _, _ = state
+        return (remaining > 0.0) & jnp.logical_not(stop) & (r < r_max)
+
+    def body(state):
+        r, remaining, _, hist, bins, unassigned = state
+
+        # --- 1. dominant bin (first-max tie-break) ---
+        peak = jnp.max(hist)
+        mf_bin = jnp.min(jnp.where(hist == peak, hbin_iota, jnp.int32(1 << 20)))
+        stop = peak < float(min_candidates)
+
+        # --- 2. seed: min-MSE cell of the dominant bin ---
+        candidates = (bins == mf_bin)
+        seed_mse = jnp.where(candidates, mse, jnp.inf)
+        m = jnp.min(seed_mse)
+        seed_flat = jnp.min(jnp.where(seed_mse == m, flat_iota, big))
+        seed = (flat_iota == seed_flat).astype(f32)
+
+        # --- 3. flood fill (directed reachability) ---
+        def hop(active):
+            grown = (_shift(active, 1, 0) * eu + _shift(active, -1, 0) * ed
+                     + _shift(active, 0, 1) * el + _shift(active, 0, -1) * er)
+            return jnp.maximum(active, jnp.minimum(grown, 1.0) * unassigned)
+
+        def flood_cond(fs):
+            active, prev = fs
+            return jnp.sum(active) > prev
+
+        def flood_body(fs):
+            active, _ = fs
+            prev = jnp.sum(active)
+            for _ in range(8):
+                active = hop(active)
+            return active, prev
+
+        region0 = seed * unassigned
+        region, _ = jax.lax.while_loop(flood_cond, flood_body, (region0, -1.0))
+        region = jnp.where(stop, jnp.zeros_like(region), region)
+        size = jnp.sum(region)
+
+        # --- 4. consume: histogram decrement via distinct-bin extraction ---
+        def dec_cond(ds):
+            _, rem = ds
+            return jnp.sum(rem) > 0.0
+
+        def dec_body(ds):
+            hist, rem = ds
+            sel = jnp.min(jnp.where(rem > 0, flat_iota, big))
+            b = jnp.sum(jnp.where(flat_iota == sel, bins, 0))
+            members = (bins == b) & (rem > 0)
+            cnt = jnp.sum(members.astype(f32))
+            hist = hist - jnp.where(hbin_iota == b, cnt, 0.0)
+            rem = jnp.where(members, 0.0, rem)
+            return hist, rem
+
+        hist, _ = jax.lax.while_loop(dec_cond, dec_body, (hist, region))
+        bins = jnp.where(region > 0, -1, bins)
+        unassigned = unassigned * (1.0 - region)
+        remaining = remaining - size
+
+        # --- 5. region sums (seed counted twice, Chan-combined scatter) ---
+        wgt = region + seed * region
+        n_tot = jnp.sum(wgt) * nr_pts
+        n_safe = jnp.maximum(n_tot, 1.0)
+        sx = jnp.sum(wgt * csx_ref[:])
+        sy = jnp.sum(wgt * csy_ref[:])
+        sz = jnp.sum(wgt * csz_ref[:])
+        mux, muy, muz = sx / n_safe, sy / n_safe, sz / n_safe
+        dx = mx_ref[:] - mux
+        dy = my_ref[:] - muy
+        dz = mz_ref[:] - muz
+        xx = jnp.sum(wgt * (sxx_ref[:] + nr_pts * dx * dx))
+        xy = jnp.sum(wgt * (sxy_ref[:] + nr_pts * dx * dy))
+        xz = jnp.sum(wgt * (sxz_ref[:] + nr_pts * dx * dz))
+        yy = jnp.sum(wgt * (syy_ref[:] + nr_pts * dy * dy))
+        yz = jnp.sum(wgt * (syz_ref[:] + nr_pts * dy * dz))
+        zz = jnp.sum(wgt * (szz_ref[:] + nr_pts * dz * dz))
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        vals = [n_tot, sx, sy, sz, xx, xy, xz, yy, yz, zz, size]
+        row = jnp.zeros((1, _LANES), f32)
+        for i, v in enumerate(vals):
+            row = row + jnp.where(lane == i, v, 0.0)
+        sums_ref[pl.ds(r, 1), :] = row
+
+        # --- 6. labels ---
+        round_map_ref[:] = jnp.where(region > 0, r, round_map_ref[:])
+
+        return r + 1, remaining, stop, hist, bins, unassigned
+
+    r_fin, *_ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), remaining0, jnp.bool_(False), hist, bins, planar))
+    nrounds_ref[0, 0] = r_fin
+
+
+def grow_rounds_pallas(stats: CellStats, config: Config, *,
+                       interpret: bool = False):
+    """Pallas counterpart of growing.grow_rounds; same RoundData contract."""
+    from deplex_tpu.ops.growing import RoundData, admissibility_edges
+
+    gh, gw = stats.planar.shape
+    PH, PW = _round_up(gh, _SUBLANES), _round_up(gw, _LANES)
+    R_MAX = config.max_region_growing_rounds
+
+    edges = admissibility_edges(stats, config)
+    bins = normal_bins(stats.normal, stats.planar, config.histogram_bins_per_coord)
+
+    f = jnp.float32
+    inputs = [
+        jnp.reshape(stats.nr_pts, (1, 1)).astype(f),
+        _pad_to(stats.planar.astype(f), PH, PW, 0.0),
+        _pad_to(bins.astype(jnp.int32), PH, PW, -1),
+        _pad_to(stats.mse.astype(f), PH, PW, jnp.inf),
+        _pad_to(edges["from_up"].astype(f), PH, PW, 0.0),
+        _pad_to(edges["from_down"].astype(f), PH, PW, 0.0),
+        _pad_to(edges["from_left"].astype(f), PH, PW, 0.0),
+        _pad_to(edges["from_right"].astype(f), PH, PW, 0.0),
+        _pad_to(stats.coord_sum[..., 0].astype(f), PH, PW, 0.0),
+        _pad_to(stats.coord_sum[..., 1].astype(f), PH, PW, 0.0),
+        _pad_to(stats.coord_sum[..., 2].astype(f), PH, PW, 0.0),
+        _pad_to(stats.mean[..., 0].astype(f), PH, PW, 0.0),
+        _pad_to(stats.mean[..., 1].astype(f), PH, PW, 0.0),
+        _pad_to(stats.mean[..., 2].astype(f), PH, PW, 0.0),
+        _pad_to(stats.scatter[..., 0, 0].astype(f), PH, PW, 0.0),
+        _pad_to(stats.scatter[..., 0, 1].astype(f), PH, PW, 0.0),
+        _pad_to(stats.scatter[..., 0, 2].astype(f), PH, PW, 0.0),
+        _pad_to(stats.scatter[..., 1, 1].astype(f), PH, PW, 0.0),
+        _pad_to(stats.scatter[..., 1, 2].astype(f), PH, PW, 0.0),
+        _pad_to(stats.scatter[..., 2, 2].astype(f), PH, PW, 0.0),
+    ]
+
+    kernel = functools.partial(
+        _kernel, r_max=R_MAX,
+        min_candidates=config.min_region_growing_candidate_size,
+        hist_rows=_SUBLANES)
+
+    round_map_p, sums, nrounds = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((PH, PW), jnp.int32),
+            jax.ShapeDtypeStruct((R_MAX, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(inputs) - 1)),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    # sums rows are (128,) lanes; RoundData wants (R_MAX, 16).
+    return RoundData(round_map=round_map_p[:gh, :gw],
+                     sums=sums[:, :16],
+                     nr_rounds=nrounds[0, 0])
