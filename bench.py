@@ -55,7 +55,9 @@ def main():
 
     R = int(os.environ.get("BENCH_REPEATS", "400"))
     G = int(os.environ.get("BENCH_RING", "4"))
-    cfg = Config()
+    # BENCH_PALLAS: "" = auto, "1"/"0" = force the growing backend.
+    bp = os.environ.get("BENCH_PALLAS", "")
+    cfg = Config(use_pallas_growing=None if bp == "" else bool(int(bp)))
 
     B = int(os.environ.get("BENCH_BATCH", "8"))
 

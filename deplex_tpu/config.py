@@ -59,6 +59,14 @@ class Config:
     # Region-growing backend: None = auto (Pallas kernel on TPU when the
     # grid fits its VMEM budget, XLA loop otherwise), True/False = force.
     use_pallas_growing: bool | None = None
+    # --- Cylinder extraction (CAPE's second primitive; not in the
+    # reference library, SURVEY.md "Planes only") ---
+    cylinder_extraction: bool = False
+    min_cylinder_cells: int = 4
+    max_cylinders: int = 16
+    # Accept when radial RMSE <= max(cylinder_rmse_max, rel * radius) [mm].
+    cylinder_rmse_max: float = 20.0
+    cylinder_rmse_rel: float = 0.05
 
     def __post_init__(self):
         if self.patch_size < 0:
@@ -135,6 +143,12 @@ _INI_KEYS = {
     # TPU-native extras, exposed under matching camelCase for symmetry.
     "maxPlanes": "max_planes",
     "maxRegionGrowingRounds": "max_region_growing_rounds",
+    "usePallasGrowing": "use_pallas_growing",
+    "cylinderExtraction": "cylinder_extraction",
+    "minCylinderCells": "min_cylinder_cells",
+    "maxCylinders": "max_cylinders",
+    "cylinderRmseMax": "cylinder_rmse_max",
+    "cylinderRmseRel": "cylinder_rmse_rel",
 }
 
 def _parse_optional_bool(v):

@@ -86,9 +86,9 @@ def _shift(x, dr, dc):
     return x
 
 
-def _kernel(nr_pts_ref, planar_ref, bins_ref, mse_ref, eu_ref, ed_ref, el_ref,
-            er_ref, csx_ref, csy_ref, csz_ref, mx_ref, my_ref, mz_ref,
-            sxx_ref, sxy_ref, sxz_ref, syy_ref, syz_ref, szz_ref,
+def _kernel(nr_pts_ref, hist0_ref, planar_ref, bins_ref, mse_ref, eu_ref,
+            ed_ref, el_ref, er_ref, csx_ref, csy_ref, csz_ref, mx_ref, my_ref,
+            mz_ref, sxx_ref, sxy_ref, sxz_ref, syy_ref, syz_ref, szz_ref,
             round_map_ref, sums_ref, nrounds_ref, *,
             r_max: int, min_candidates: int, hist_rows: int):
     PH, PW = planar_ref.shape
@@ -109,27 +109,9 @@ def _kernel(nr_pts_ref, planar_ref, bins_ref, mse_ref, eu_ref, ed_ref, el_ref,
     hcol_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 1)
     hbin_iota = hrow_iota * _LANES + hcol_iota
 
-    # Initial histogram: count cells per bin — built once with the same
-    # coherence trick used for decrements (distinct initial bins <= nbins^2,
-    # but typically only tens are populated).
-    def hist_init_cond(state):
-        _, live = state
-        return jnp.sum(live) > 0.0
-
-    def hist_init_body(state):
-        hist, live = state
-        # Pick the bin of the lowest-index live cell.
-        sel = jnp.min(jnp.where(live > 0, flat_iota, big))
-        b = jnp.sum(jnp.where(flat_iota == sel, bins, 0))
-        members = (bins == b) & (live > 0)
-        cnt = jnp.sum(members.astype(f32))
-        hist = hist + jnp.where(hbin_iota == b, cnt, 0.0)
-        live = jnp.where(members, 0.0, live)
-        return hist, live
-
-    hist0 = jnp.zeros((_SUBLANES, _LANES), f32)
-    hist, _ = jax.lax.while_loop(hist_init_cond, hist_init_body,
-                                 (hist0, planar))
+    # Initial histogram comes precomputed from XLA (one dense one-hot
+    # reduction outside beats a serial distinct-bin loop in here).
+    hist = hist0_ref[:]
 
     round_map_ref[:] = jnp.full((PH, PW), -1, jnp.int32)
     sums_ref[:] = jnp.zeros_like(sums_ref)
@@ -244,9 +226,17 @@ def grow_rounds_pallas(stats: CellStats, config: Config, *,
     edges = admissibility_edges(stats, config)
     bins = normal_bins(stats.normal, stats.planar, config.histogram_bins_per_coord)
 
+    from deplex_tpu.ops.histogram import histogram_counts
+
+    nb2 = config.histogram_bins_per_coord ** 2
+    hist0 = jnp.zeros(_SUBLANES * _LANES, jnp.float32).at[:nb2].set(
+        histogram_counts(bins, config.histogram_bins_per_coord).astype(jnp.float32)
+    ).reshape(_SUBLANES, _LANES)
+
     f = jnp.float32
     inputs = [
         jnp.reshape(stats.nr_pts, (1, 1)).astype(f),
+        hist0,
         _pad_to(stats.planar.astype(f), PH, PW, 0.0),
         _pad_to(bins.astype(jnp.int32), PH, PW, -1),
         _pad_to(stats.mse.astype(f), PH, PW, jnp.inf),
@@ -282,6 +272,7 @@ def grow_rounds_pallas(stats: CellStats, config: Config, *,
         ),
         in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(inputs) - 1)),
+        # hist0 and the rest are VMEM; only nr_pts is an SMEM scalar.
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

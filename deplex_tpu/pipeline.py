@@ -95,3 +95,46 @@ def extract_planes_debug(points, *, image_height: int, image_width: int, config:
     labels = rasterize_labels(labels_map, merge_labels, image_height, image_width, P)
     return {"stats": stats, "labels_map": labels_map, "segments": segments,
             "merge_labels": merge_labels, "merged": merged, "labels": labels}
+
+
+def extract_primitives(points: jax.Array, *, image_height: int,
+                       image_width: int, config: Config):
+    """Planes AND cylinders (CAPE's full primitive set; the reference does
+    planes only). Returns a dict:
+      plane_labels    (H*W,) int32  — as extract_planes
+      cylinder_labels (H*W,) int32  — cylinder ids over pixels, 0 = none
+      cylinders       CylinderSegments
+    Cylinder candidates are growing rounds that failed the plane planarity
+    gate (ops/cylinder.py), so the expensive stages run once for both.
+    """
+    from deplex_tpu.ops.cylinder import extract_cylinders
+    from deplex_tpu.ops.growing import finalize_rounds, grow_rounds
+    from deplex_tpu.ops.pallas_growing import grow_rounds_pallas, pallas_supported
+
+    H, W = image_height, image_width
+    P = min(config.patch_size, min(H, W))
+    stats = compute_cell_stats(points, H, W, config)
+    use_pallas = config.use_pallas_growing
+    if (use_pallas or use_pallas is None) and pallas_supported(stats.planar.shape, config):
+        rounds = grow_rounds_pallas(stats, config)
+    else:
+        rounds = grow_rounds(stats, config)
+    labels_map, segments = finalize_rounds(rounds, config)
+    merge_labels, merged = merge_planes(labels_map, segments, config)
+    plane_labels = rasterize_labels(labels_map, merge_labels, H, W, P)
+
+    cyl_map, cylinders = extract_cylinders(stats, rounds, config)
+    ident = jnp.arange(config.max_cylinders, dtype=jnp.int32)
+    cyl_labels = rasterize_labels(cyl_map, ident, H, W, P)
+    # A region explained by a cylinder is not a plane (CAPE assigns the
+    # lower-residual primitive); plane labels yield where cylinders won.
+    plane_labels = jnp.where(cyl_labels > 0, 0, plane_labels)
+    return {"plane_labels": plane_labels, "cylinder_labels": cyl_labels,
+            "cylinders": cylinders}
+
+
+@functools.partial(jax.jit, static_argnames=("image_height", "image_width", "config"))
+def extract_primitives_jit(points, *, image_height: int, image_width: int,
+                           config: Config):
+    return extract_primitives(points, image_height=image_height,
+                              image_width=image_width, config=config)

@@ -31,3 +31,9 @@ def read_intrinsics(path: str) -> np.ndarray:
 def save_pcd_csv(points: np.ndarray, path: str) -> None:
     """Write an (N, M) array as CSV (reference CSVFormat: comma, newline)."""
     np.savetxt(path, np.asarray(points), delimiter=",", fmt="%g")
+
+
+def save_labels_csv(labels: np.ndarray, path: str) -> None:
+    """One label per line — format of the reference's DEBUG_DEPLEX dumps
+    (plane_extractor.cpp:511-549), consumed by scripts/apply_labels.py."""
+    np.savetxt(path, np.asarray(labels).reshape(-1), fmt="%d")
