@@ -46,7 +46,6 @@ def main():
     import jax.numpy as jnp
 
     from deplex_tpu import Config
-    from deplex_tpu.pipeline import extract_planes_from_depth
     from deplex_tpu.utils import DepthImage, read_intrinsics
 
     img = DepthImage(str(ROOT / "data" / "tum" / "1341848230.910894.png"))
@@ -72,12 +71,11 @@ def main():
         per-op overhead across frames.
         """
 
-        def one(depth):
-            return extract_planes_from_depth(depth, intrinsics, config=cfg)
+        from deplex_tpu.parallel.batch import extract_depth_batch
 
         def body(i, carry):
             counts, labeled = carry
-            labels = jax.vmap(one)(ring_buf[i % G])
+            labels = extract_depth_batch(ring_buf[i % G], intrinsics, cfg)
             labels = jax.lax.optimization_barrier(labels)
             counts = counts.at[i].set(jnp.max(labels, axis=1))
             labeled = labeled.at[i].set(jnp.sum(labels > 0, axis=1))

@@ -59,6 +59,28 @@ class PlaneExtractor:
                                     image_width=self._width, config=self._config)
         return np.asarray(labels)
 
+    def process_primitives(self, pcd_array) -> dict:
+        """Planes AND cylinders (CAPE's full primitive set; beyond the
+        reference's planes-only API). Returns numpy copies of
+        pipeline.extract_primitives' output dict."""
+        from deplex_tpu.pipeline import extract_primitives_jit
+
+        pts = np.asarray(pcd_array, dtype=np.float32)
+        if pts.ndim != 2 or pts.shape[1] != 3 or pts.shape[0] != self._height * self._width:
+            rows = 0 if pts.ndim < 2 else pts.shape[0]
+            raise ValueError(
+                f"Error! Number of points doesn't match image shape: {rows}"
+                f" != {self._height} x {self._width}")
+        cfg = self._config if self._config.cylinder_extraction else \
+            self._config.replace(cylinder_extraction=True)
+        out = extract_primitives_jit(pts, image_height=self._height,
+                                     image_width=self._width, config=cfg)
+        return {
+            "plane_labels": np.asarray(out["plane_labels"]),
+            "cylinder_labels": np.asarray(out["cylinder_labels"]),
+            "cylinders": out["cylinders"],
+        }
+
     def process_depth(self, depth, intrinsics) -> np.ndarray:
         """Extract planes straight from a (H, W) uint16 depth map.
 

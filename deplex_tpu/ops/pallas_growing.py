@@ -54,6 +54,22 @@ def _round_up(n, m):
     return (n + m - 1) // m * m
 
 
+def pallas_batched_supported(n_frames: int, grid_shape, config: Config) -> bool:
+    """VMEM check for the stacked-batch kernel ((B*PH, PW) planes)."""
+    gh, gw = grid_shape
+    ph, pw = _round_up(gh, _SUBLANES), _round_up(gw, _LANES)
+    if config.histogram_bins_per_coord ** 2 > _SUBLANES * _LANES:
+        return False
+    vmem = (22 * n_frames * ph * pw * 4
+            + n_frames * config.max_region_growing_rounds * _LANES * 4)
+    if vmem > 10 * 1024 * 1024:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def pallas_supported(grid_shape, config: Config) -> bool:
     """True if the kernel's VMEM plan fits this grid (and we're on TPU)."""
     gh, gw = grid_shape
@@ -212,6 +228,286 @@ def _kernel(nr_pts_ref, hist0_ref, planar_ref, bins_ref, mse_ref, eu_ref,
         cond, body,
         (jnp.int32(0), remaining0, jnp.bool_(False), hist, bins, planar))
     nrounds_ref[0, 0] = r_fin
+
+
+def _kernel_batched(nr_pts_ref, hist0_ref, planar_ref, bins_ref, mse_ref,
+                    eu_ref, ed_ref, el_ref, er_ref, csx_ref, csy_ref, csz_ref,
+                    mx_ref, my_ref, mz_ref, sxx_ref, sxy_ref, sxz_ref,
+                    syy_ref, syz_ref, szz_ref,
+                    round_map_ref, sums_ref, nrounds_ref, *,
+                    n_frames: int, ph: int, r_max: int, min_candidates: int):
+    """Batched rounds loop: frames stacked along sublanes ((B*PH, PW) planes).
+
+    Flood fill / consumption / bins updates run once on the stacked planes
+    (8x the data per vector op — the amortization), while tiny per-frame
+    scalar steps (argmax bin, seed argmin, row writes) unroll over the B
+    static band slices. Vertical flood shifts cannot leak across frame
+    bands because each frame's border edge masks are False.
+    """
+    B, PH = n_frames, ph
+    BPH, PW = planar_ref.shape
+    f32 = jnp.float32
+    nr_pts = nr_pts_ref[0, 0]
+
+    planar = planar_ref[:]
+    bins = bins_ref[:]
+    mse = mse_ref[:]
+    eu, ed, el, er = eu_ref[:], ed_ref[:], el_ref[:], er_ref[:]
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (BPH, PW), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (BPH, PW), 1)
+    # Frame-local flat id (same for every band so band slices compare alike).
+    flat_iota = (row_iota % PH) * PW + col_iota
+    big = jnp.int32(PH * PW + 1)
+
+    hrow_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 0)
+    hcol_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 1)
+    hbin_iota = hrow_iota * _LANES + hcol_iota
+    # Stacked-histogram versions: bin index within each frame's 8-row band.
+    hrow_full = jax.lax.broadcasted_iota(jnp.int32, (B * _SUBLANES, _LANES), 0)
+    hcol_full = jax.lax.broadcasted_iota(jnp.int32, (B * _SUBLANES, _LANES), 1)
+    hbin_full = (hrow_full % _SUBLANES) * _LANES + hcol_full
+    hband_masks = [(hrow_full >= f * _SUBLANES) & (hrow_full < (f + 1) * _SUBLANES)
+                   for f in range(B)]
+
+    band_masks = [(row_iota >= f * PH) & (row_iota < (f + 1) * PH)
+                  for f in range(B)]
+
+    round_map_ref[:] = jnp.full((BPH, PW), -1, jnp.int32)
+    sums_ref[:] = jnp.zeros_like(sums_ref)
+
+    def band(x, f):
+        return x[f * PH:(f + 1) * PH, :]
+
+    hist = hist0_ref[:]                      # (B*8, 128)
+
+    remaining0 = tuple(jnp.sum(band(planar, f)) for f in range(B))
+    active0 = tuple(r > 0.0 for r in remaining0)
+    r0 = tuple(jnp.int32(0) for _ in range(B))
+
+    def cond(state):
+        _, _, active, _, _, _ = state
+        alive = active[0]
+        for f in range(1, B):
+            alive = alive | active[f]
+        return alive
+
+    def body(state):
+        g, remaining, active, hist, bins, unassigned = state
+
+        # --- per-frame: dominant bin + seed (static band slices) ---
+        seeds = []
+        stops = []
+        for f in range(B):
+            h = hist[f * _SUBLANES:(f + 1) * _SUBLANES, :]
+            peak = jnp.max(h)
+            mf_bin = jnp.min(jnp.where(h == peak, hbin_iota, jnp.int32(1 << 20)))
+            stop_f = peak < float(min_candidates)
+            cand_f = band(bins, f) == mf_bin
+            smse = jnp.where(cand_f, band(mse, f), jnp.inf)
+            m = jnp.min(smse)
+            seed_flat = jnp.min(jnp.where(smse == m, band(flat_iota, f), big))
+            ok = active[f] & jnp.logical_not(stop_f)
+            seeds.append(jnp.where(ok, seed_flat, big))
+            stops.append(stop_f)
+
+        # Seed plane: one comparison against the per-frame broadcast seeds.
+        seed_bc = jnp.zeros((BPH, PW), jnp.int32)
+        for f in range(B):
+            seed_bc = seed_bc + jnp.where(band_masks[f], seeds[f], 0)
+        seed = (flat_iota == seed_bc).astype(f32)
+
+        # --- shared flood fill over all frames at once ---
+        def hop(a):
+            grown = (_shift(a, 1, 0) * eu + _shift(a, -1, 0) * ed
+                     + _shift(a, 0, 1) * el + _shift(a, 0, -1) * er)
+            return jnp.maximum(a, jnp.minimum(grown, 1.0) * unassigned)
+
+        def flood_cond(fs):
+            a, prev = fs
+            return jnp.sum(a) > prev
+
+        def flood_body(fs):
+            a, _ = fs
+            prev = jnp.sum(a)
+            for _ in range(8):
+                a = hop(a)
+            return a, prev
+
+        region, _ = jax.lax.while_loop(flood_cond, flood_body,
+                                       (seed * unassigned, -1.0))
+
+        # --- shared consumption: histogram decrement, distinct bins ---
+        def dec_cond(ds):
+            _, rem = ds
+            return jnp.sum(rem) > 0.0
+
+        def dec_body(ds):
+            hist, rem = ds
+            sel_bc = jnp.zeros((BPH, PW), jnp.int32)
+            for f in range(B):
+                sel_f = jnp.min(jnp.where(band(rem, f) > 0, band(flat_iota, f), big))
+                sel_bc = sel_bc + jnp.where(band_masks[f], sel_f, 0)
+            is_sel = (flat_iota == sel_bc) & (rem > 0)
+            members = jnp.zeros((BPH, PW), jnp.bool_)
+            hist_delta = jnp.zeros_like(hist)
+            for f in range(B):
+                b_f = jnp.sum(jnp.where(band(is_sel, f), band(bins, f), 0))
+                cnt = jnp.sum((band(bins, f) == b_f) & (band(rem, f) > 0))
+                hist_delta = hist_delta + jnp.where(
+                    hband_masks[f] & (hbin_full == b_f), cnt.astype(f32), 0.0)
+                members = members | (band_masks[f] & (bins == b_f))
+            hist = hist - hist_delta
+            rem = jnp.where(members & (rem > 0), 0.0, rem)
+            return hist, rem
+
+        hist, _ = jax.lax.while_loop(dec_cond, dec_body, (hist, region))
+        bins = jnp.where(region > 0, -1, bins)
+        unassigned = unassigned * (1.0 - region)
+
+        # --- per-frame sums + row writes ---
+        wgt = region + seed * region
+        tx = wgt * csx_ref[:]
+        ty = wgt * csy_ref[:]
+        tz = wgt * csz_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        new_remaining = []
+        new_active = []
+        new_g = []
+        for f in range(B):
+            w_f = band(wgt, f)
+            size_f = jnp.sum(band(region, f))
+            n_tot = jnp.sum(w_f) * nr_pts
+            n_safe = jnp.maximum(n_tot, 1.0)
+            sx = jnp.sum(band(tx, f))
+            sy = jnp.sum(band(ty, f))
+            sz = jnp.sum(band(tz, f))
+            mux, muy, muz = sx / n_safe, sy / n_safe, sz / n_safe
+            dx = band(mx_ref[:], f) - mux
+            dy = band(my_ref[:], f) - muy
+            dz = band(mz_ref[:], f) - muz
+            xx = jnp.sum(w_f * (band(sxx_ref[:], f) + nr_pts * dx * dx))
+            xy = jnp.sum(w_f * (band(sxy_ref[:], f) + nr_pts * dx * dy))
+            xz = jnp.sum(w_f * (band(sxz_ref[:], f) + nr_pts * dx * dz))
+            yy = jnp.sum(w_f * (band(syy_ref[:], f) + nr_pts * dy * dy))
+            yz = jnp.sum(w_f * (band(syz_ref[:], f) + nr_pts * dy * dz))
+            zz = jnp.sum(w_f * (band(szz_ref[:], f) + nr_pts * dz * dz))
+            vals = [n_tot, sx, sy, sz, xx, xy, xz, yy, yz, zz, size_f]
+            row = jnp.zeros((1, _LANES), f32)
+            for i, v in enumerate(vals):
+                row = row + jnp.where(lane == i, v, 0.0)
+            row = jnp.where(active[f], row, jnp.zeros_like(row))
+            idx = f * r_max + jnp.minimum(g[f], r_max - 1)
+            sums_ref[pl.ds(idx, 1), :] = jnp.where(
+                active[f], row, sums_ref[pl.ds(idx, 1), :])
+            rem_f = remaining[f] - size_f
+            g_next = g[f] + active[f].astype(jnp.int32)
+            new_remaining.append(rem_f)
+            new_active.append(active[f] & jnp.logical_not(stops[f])
+                              & (rem_f > 0.0) & (g_next < r_max))
+            new_g.append(g_next)
+
+        round_map_ref[:] = jnp.where(region > 0,
+                                     _round_bc(g, active, band_masks, BPH, PW),
+                                     round_map_ref[:])
+
+        return (tuple(new_g), tuple(new_remaining), tuple(new_active),
+                hist, bins, unassigned)
+
+    g_fin, _, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (r0, remaining0, active0, hist, bins, planar))
+    for f in range(B):
+        nrounds_ref[f, 0] = g_fin[f]
+
+
+def _round_bc(g, active, band_masks, BPH, PW):
+    """Broadcast each frame's current round index over its band."""
+    out = jnp.zeros((BPH, PW), jnp.int32)
+    for f, mask in enumerate(band_masks):
+        out = out + jnp.where(mask, g[f], 0)
+    return out
+
+
+def grow_rounds_pallas_batched(stats: CellStats, config: Config, *,
+                               interpret: bool = False):
+    """Batched Pallas rounds loop: stats arrays carry a leading frame axis.
+
+    Returns RoundData with leading batch dimension; equivalent to
+    jax.vmap(grow_rounds) but ~an order of magnitude cheaper per frame
+    (vector ops amortize across the stacked frame bands).
+    """
+    from deplex_tpu.ops.growing import RoundData, admissibility_edges
+    from deplex_tpu.ops.histogram import histogram_counts
+
+    B, gh, gw = stats.planar.shape
+    PH, PW = _round_up(gh, _SUBLANES), _round_up(gw, _LANES)
+    R_MAX = config.max_region_growing_rounds
+    nb = config.histogram_bins_per_coord
+
+    edges = jax.vmap(lambda s: admissibility_edges(s, config))(stats)
+    bins = jax.vmap(lambda n, p: normal_bins(n, p, nb))(stats.normal, stats.planar)
+    hist0 = jax.vmap(lambda b: jnp.zeros(_SUBLANES * _LANES, jnp.float32)
+                     .at[:nb * nb].set(histogram_counts(b, nb).astype(jnp.float32))
+                     .reshape(_SUBLANES, _LANES))(bins)
+
+    def stack(x, fill):
+        """(B, gh, gw) -> (B*PH, PW) with per-frame padding."""
+        xp = jnp.pad(x, ((0, 0), (0, PH - gh), (0, PW - gw)),
+                     constant_values=fill)
+        return xp.reshape(B * PH, PW)
+
+    f = jnp.float32
+    inputs = [
+        # nr_pts is P*P, identical across the batch.
+        jnp.reshape(jnp.reshape(stats.nr_pts, (-1,))[0], (1, 1)).astype(f),
+        hist0.reshape(B * _SUBLANES, _LANES),
+        stack(stats.planar.astype(f), 0.0),
+        stack(bins.astype(jnp.int32), -1),
+        stack(stats.mse.astype(f), jnp.inf),
+        stack(edges["from_up"].astype(f), 0.0),
+        stack(edges["from_down"].astype(f), 0.0),
+        stack(edges["from_left"].astype(f), 0.0),
+        stack(edges["from_right"].astype(f), 0.0),
+        stack(stats.coord_sum[..., 0].astype(f), 0.0),
+        stack(stats.coord_sum[..., 1].astype(f), 0.0),
+        stack(stats.coord_sum[..., 2].astype(f), 0.0),
+        stack(stats.mean[..., 0].astype(f), 0.0),
+        stack(stats.mean[..., 1].astype(f), 0.0),
+        stack(stats.mean[..., 2].astype(f), 0.0),
+        stack(stats.scatter[..., 0, 0].astype(f), 0.0),
+        stack(stats.scatter[..., 0, 1].astype(f), 0.0),
+        stack(stats.scatter[..., 0, 2].astype(f), 0.0),
+        stack(stats.scatter[..., 1, 1].astype(f), 0.0),
+        stack(stats.scatter[..., 1, 2].astype(f), 0.0),
+        stack(stats.scatter[..., 2, 2].astype(f), 0.0),
+    ]
+
+    kernel = functools.partial(
+        _kernel_batched, n_frames=B, ph=PH, r_max=R_MAX,
+        min_candidates=config.min_region_growing_candidate_size)
+
+    round_map_p, sums, nrounds = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B * PH, PW), jnp.int32),
+            jax.ShapeDtypeStruct((B * R_MAX, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(inputs) - 1)),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    return RoundData(
+        round_map=round_map_p.reshape(B, PH, PW)[:, :gh, :gw],
+        sums=sums.reshape(B, R_MAX, _LANES)[:, :, :16],
+        nr_rounds=nrounds[:, 0],
+    )
 
 
 def grow_rounds_pallas(stats: CellStats, config: Config, *,

@@ -33,19 +33,53 @@ def extract_planes_batch_jit(points, *, image_height: int, image_width: int, con
     return jax.vmap(fn)(points)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def extract_depth_batch_jit(depth_batch, intrinsics, *, config: Config):
-    """(B, H, W) uint16 depth + (3,3) K -> (B, H*W) uint8 labels.
+def extract_depth_batch(depth_batch, intrinsics, config: Config):
+    """(B, H, W) uint16 depth + (3,3) K -> (B, H*W) int32 labels.
 
     The serving fast path: 6x smaller upload than point clouds (back-
-    projection fused on device, pipeline.backproject_device) and 4x smaller
-    readback (labels fit uint8 for max_planes <= 255).
+    projection fused on device, pipeline.backproject_device) and the growing
+    stage in the STACKED-BATCH Pallas kernel when it fits VMEM — all
+    frames' rounds advance together so every vector op amortizes across
+    the batch (ops/pallas_growing.py:_kernel_batched).
     """
-    from deplex_tpu.pipeline import extract_planes_from_depth
+    from deplex_tpu.ops.cellstats import compute_cell_stats
+    from deplex_tpu.ops.growing import finalize_rounds, grow_planes, grow_rounds
+    from deplex_tpu.ops.merge import merge_planes, rasterize_labels
+    from deplex_tpu.ops.pallas_growing import (grow_rounds_pallas_batched,
+                                               pallas_batched_supported)
+    from deplex_tpu.pipeline import backproject_device
 
-    fn = functools.partial(extract_planes_from_depth, config=config)
-    labels = jax.vmap(fn, in_axes=(0, None))(depth_batch, intrinsics)
-    return labels.astype(jnp.uint8)
+    B, H, W = depth_batch.shape
+    P = min(config.patch_size, min(H, W))
+    pts = jax.vmap(lambda d: backproject_device(d, intrinsics))(depth_batch)
+    stats = jax.vmap(
+        lambda p: compute_cell_stats(p, H, W, config))(pts)
+
+    use_pallas = config.use_pallas_growing
+    gh, gw = stats.planar.shape[1:]
+    if (use_pallas or use_pallas is None) and \
+            pallas_batched_supported(B, (gh, gw), config):
+        rounds = grow_rounds_pallas_batched(stats, config)
+        lm_seg = jax.vmap(lambda r: finalize_rounds(r, config))(rounds)
+    else:
+        lm_seg = jax.vmap(lambda s: grow_planes(s, config))(stats)
+    labels_map, segments = lm_seg
+    merge_labels, _ = jax.vmap(lambda lm, sg: merge_planes(lm, sg, config))(
+        labels_map, segments)
+    labels = jax.vmap(
+        lambda lm, ml: rasterize_labels(lm, ml, H, W, P))(labels_map, merge_labels)
+    if config.ransac_refinement:
+        from deplex_tpu.ops.ransac import refine_labels
+
+        labels = jax.vmap(lambda p, l: refine_labels(p, l, config))(pts, labels)
+    return labels
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def extract_depth_batch_jit(depth_batch, intrinsics, *, config: Config):
+    """Jitted extract_depth_batch with uint8 labels (4x smaller readback;
+    valid while max_planes <= 255)."""
+    return extract_depth_batch(depth_batch, intrinsics, config).astype(jnp.uint8)
 
 
 class BatchDepthExtractor:
