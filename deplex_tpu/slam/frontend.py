@@ -199,6 +199,88 @@ class PlaneSlam:
             obs_lm=jnp.asarray(np.maximum(lm, 0), jnp.int32),
             obs_w=jnp.asarray(obs_w))
 
+    def build_pose_graph(self, min_shared: int = 3):
+        """Pose graph over keyframes: odometry edges between consecutive
+        frames plus loop-closure edges between any pair co-observing >=
+        min_shared map landmarks. Edge measurements are estimated DIRECTLY
+        from the shared plane observations (frame-to-frame Gauss-Newton,
+        independent of the tracked trajectory), so graph optimization can
+        correct accumulated drift.
+        """
+        import jax.numpy as jnp
+
+        from deplex_tpu.slam.odometry import estimate_pose
+        from deplex_tpu.slam.planes import PlaneObs
+        from deplex_tpu.slam.pose_graph import PoseGraph
+
+        K = len(self._keyframes)
+        lm_sets = [set(int(x) for x in kf[3] if x >= 0) for kf in self._keyframes]
+
+        def rel_measure(a, b):
+            """T_ab = T_cw(a) o T_cw(b)^-1 from shared planes; None if
+            under-constrained."""
+            na, da, wa, la = self._keyframes[a]
+            nb, db, wb, lb = self._keyframes[b]
+            shared = [(i, j) for i, li in enumerate(la) if li >= 0
+                      for j, lj in enumerate(lb) if lj == li]
+            if len(shared) < min_shared:
+                return None
+            P = la.shape[0]
+            obs = PlaneObs(normal=jnp.asarray(na), d=jnp.asarray(da),
+                           weight=jnp.asarray(wa), mean=jnp.zeros((P, 3)))
+            match_lm = np.full(P, -1, np.int32)
+            for i, j in shared:
+                match_lm[i] = j
+            # Treat frame b's observations as the "world" landmarks.
+            Ra, ta = self.trajectory[a]
+            Rb, tb = self.trajectory[b]
+            R0 = jnp.asarray(Ra @ Rb.T)
+            t0 = jnp.asarray(ta - Ra @ Rb.T @ tb)
+            res = estimate_pose(obs, jnp.asarray(nb), jnp.asarray(db),
+                                jnp.asarray(match_lm), jnp.asarray(match_lm >= 0),
+                                R0, t0, iterations=6)
+            return np.asarray(res.R), np.asarray(res.t)
+
+        edges = []
+        for a in range(K - 1):
+            m = rel_measure(a, a + 1)
+            if m is not None:
+                edges.append((a, a + 1, *m, 1.0))
+        for a in range(K):
+            for b in range(a + 2, K):
+                if len(lm_sets[a] & lm_sets[b]) >= min_shared:
+                    m = rel_measure(a, b)
+                    if m is not None:
+                        edges.append((a, b, *m, 1.0))
+        if not edges:
+            raise ValueError("no pose-graph edges (no co-observed planes)")
+
+        # Nodes in world-from-camera convention so edge measurements compose
+        # as T_ab = T_cw(a) o T_cw(b)^-1 (see slam/pose_graph.py residual).
+        R_wc = np.stack([R.T for R, _ in self.trajectory])
+        t_wc = np.stack([-R.T @ t for R, t in self.trajectory])
+        return PoseGraph(
+            R=jnp.asarray(R_wc), t=jnp.asarray(t_wc),
+            edge_a=jnp.asarray([e[0] for e in edges], jnp.int32),
+            edge_b=jnp.asarray([e[1] for e in edges], jnp.int32),
+            meas_R=jnp.asarray(np.stack([e[2] for e in edges])),
+            meas_t=jnp.asarray(np.stack([e[3] for e in edges])),
+            weight=jnp.asarray([e[4] for e in edges], jnp.float32))
+
+    def optimize_trajectory(self, iterations: int = 15, min_shared: int = 3):
+        """Pose-graph optimization over the keyframe trajectory (in place)."""
+        from deplex_tpu.slam.pose_graph import optimize_pose_graph
+
+        g = self.build_pose_graph(min_shared=min_shared)
+        out = optimize_pose_graph(g, iterations=iterations)
+        R_wc = np.asarray(out.R)
+        t_wc = np.asarray(out.t)
+        self.trajectory = [(R_wc[i].T, -R_wc[i].T @ t_wc[i])
+                           for i in range(R_wc.shape[0])]
+        self.R = jnp.asarray(self.trajectory[-1][0])
+        self.t = jnp.asarray(self.trajectory[-1][1])
+        return out
+
     def refine(self, iterations: int = 10, damping: float = 1e-4):
         """Run windowed BA over all keyframes; updates trajectory + map."""
         from deplex_tpu.slam.ba import run_ba

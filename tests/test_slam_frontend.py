@@ -1,0 +1,81 @@
+"""Frontend integration: tracking + BA refine + pose-graph on a synthetic room."""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
+                       / "examples" / "python"))
+
+
+@pytest.fixture(scope="module")
+def tracked_slam():
+    import jax.numpy as jnp
+    from run_slam import synthetic_sequence
+
+    from deplex_tpu import Config
+    from deplex_tpu.pipeline import backproject_device
+    from deplex_tpu.slam import PlaneSlam
+
+    H, W = 120, 160
+    K = np.array([[160.0, 0, W / 2 - 0.5], [0, 160.0, H / 2 - 0.5],
+                  [0, 0, 1]], np.float32)
+    rng = np.random.default_rng(0)
+    frames, gt = synthetic_sequence(10, H, W, K, rng)
+    cfg = Config(patch_size=8, max_planes=16, max_region_growing_rounds=32,
+                 min_region_growing_cells_activated=3,
+                 min_region_growing_candidate_size=3,
+                 depth_discontinuity_threshold=600.0,
+                 min_cos_angle_merge=0.97)
+    slam = PlaneSlam(H, W, cfg, max_landmarks=32)
+    for depth in frames:
+        slam.process_frame(backproject_device(jnp.asarray(depth), jnp.asarray(K)))
+    return slam, gt
+
+
+def _ate(trajectory, gt):
+    errs = [np.linalg.norm(-R.T @ t - (-Rg.T @ tg))
+            for (R, t), (Rg, tg) in zip(trajectory, gt)]
+    return float(np.sqrt(np.mean(np.square(errs))))
+
+
+def test_tracking_locks_on(tracked_slam):
+    slam, gt = tracked_slam
+    assert int(np.asarray(slam.map.count)) >= 3
+    # Matched planes every frame after the first.
+    assert _ate(slam.trajectory, gt) < 300.0
+
+
+def test_ba_refine_runs_and_stays_sane(tracked_slam):
+    slam, gt = tracked_slam
+    before = _ate(slam.trajectory, gt)
+    slam.refine(iterations=8)
+    after = _ate(slam.trajectory, gt)
+    assert np.isfinite(after)
+    assert after < before * 1.5  # must not blow up; usually improves
+
+
+def test_pose_graph_builds_and_optimizes(tracked_slam):
+    slam, gt = tracked_slam
+    g = slam.build_pose_graph(min_shared=3)
+    assert g.edge_a.shape[0] >= len(slam.trajectory) - 1  # odometry chain
+    before = _ate(slam.trajectory, gt)
+    slam.optimize_trajectory(iterations=10)
+    after = _ate(slam.trajectory, gt)
+    assert np.isfinite(after)
+    assert after < before * 1.5
+
+
+def test_checkpoint_roundtrip_frontend(tracked_slam, tmp_path):
+    import jax.numpy as jnp
+
+    from deplex_tpu.slam.checkpoint import load_checkpoint, save_checkpoint
+
+    slam, _ = tracked_slam
+    state = {"map": slam.map, "R": jnp.asarray(slam.R), "t": jnp.asarray(slam.t)}
+    save_checkpoint(str(tmp_path / "slam_ck"), state)
+    restored = load_checkpoint(str(tmp_path / "slam_ck"), state)
+    np.testing.assert_allclose(np.asarray(restored["map"].d),
+                               np.asarray(slam.map.d), rtol=1e-6)
