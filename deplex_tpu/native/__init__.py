@@ -23,9 +23,12 @@ _SO = pathlib.Path(__file__).resolve().parent / "src" / "libdeplex_native.so"
 _lib = None
 
 
+_SRC_LOADER = pathlib.Path(__file__).resolve().parent / "src" / "deplex_loader.cpp"
+
+
 def _build() -> None:
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(_SRC),
-           "-o", str(_SO), "-lz"]
+           str(_SRC_LOADER), "-o", str(_SO), "-lz", "-pthread"]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -33,7 +36,8 @@ def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+    if not _SO.exists() or _SO.stat().st_mtime < max(_SRC.stat().st_mtime,
+                                                    _SRC_LOADER.stat().st_mtime):
         _build()
     lib = ctypes.CDLL(str(_SO))
     lib.deplex_png16_info.restype = ctypes.c_int
@@ -50,8 +54,80 @@ def _load() -> ctypes.CDLL:
         ctypes.c_uint32, ctypes.c_uint32,
         ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
+    lib.deplex_loader_create.restype = ctypes.c_void_p
+    lib.deplex_loader_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int, ctypes.c_int]
+    lib.deplex_loader_next.restype = ctypes.c_int
+    lib.deplex_loader_next.argtypes = [
+        ctypes.c_void_p, np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")]
+    lib.deplex_loader_next_cloud.restype = ctypes.c_int
+    lib.deplex_loader_next_cloud.argtypes = [
+        ctypes.c_void_p, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
+    lib.deplex_loader_destroy.restype = None
+    lib.deplex_loader_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+class SequenceLoader:
+    """Threaded native depth-sequence loader (ordered, bounded ring).
+
+    Replaces the reference's synchronous per-frame PNG load
+    (examples/process_sequence.cpp:31-43) with a C++ worker pool; frames
+    come back strictly in order.
+    """
+
+    def __init__(self, paths, width: int, height: int, *, queue_depth: int = 4,
+                 workers: int = 2):
+        lib = _load()
+        self._lib = lib
+        self._w, self._h = int(width), int(height)
+        blob = b"\0".join(str(p).encode() for p in paths) + b"\0"
+        self._handle = lib.deplex_loader_create(
+            blob, len(blob), len(paths), self._w, self._h, queue_depth, workers)
+        if not self._handle:
+            raise RuntimeError("loader creation failed")
+
+    def next_depth(self) -> np.ndarray | None:
+        out = np.empty((self._h, self._w), np.uint16)
+        rc = self._lib.deplex_loader_next(self._handle, out)
+        if rc == 1:
+            return None
+        if rc != 0:
+            raise RuntimeError(f"frame decode failed (rc={rc})")
+        return out
+
+    def next_cloud(self, intrinsics) -> np.ndarray | None:
+        K = np.asarray(intrinsics, np.float32)
+        out = np.empty((self._h * self._w, 3), np.float32)
+        rc = self._lib.deplex_loader_next_cloud(
+            self._handle, float(K[0, 0]), float(K[1, 1]), float(K[0, 2]),
+            float(K[1, 2]), out)
+        if rc == 1:
+            return None
+        if rc != 0:
+            raise RuntimeError(f"frame decode failed (rc={rc})")
+        return out
+
+    def __iter__(self):
+        while True:
+            d = self.next_depth()
+            if d is None:
+                return
+            yield d
+
+    def close(self):
+        if self._handle:
+            self._lib.deplex_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def decode_png16(path: str) -> np.ndarray | None:
@@ -86,4 +162,4 @@ def backproject(depth: np.ndarray, fx: float, fy: float, cx: float,
     return out
 
 
-__all__ = ["decode_png16", "backproject"]
+__all__ = ["SequenceLoader", "backproject", "decode_png16"]

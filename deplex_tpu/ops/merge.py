@@ -101,8 +101,21 @@ def merge_planes(labels_map: jax.Array, segments: PlaneSegments, config: Config)
 
     carry0 = (col_ids.astype(jnp.int32), segments.n, segments.coord_sum,
               segments.scatter, segments.normal, segments.mean, segments.d)
-    (merge_labels, n, coord_sum, scatter, normal, mean, d) = jax.lax.fori_loop(
-        0, MAXP, body, carry0)
+    # Rows >= nr_planes have no adjacency (labels_map never references
+    # them), so bounding the sequential loop at the occupied slot count is
+    # exact and skips the empty tail of the MAXP-row table.
+    nrows = jnp.minimum(segments.nr_planes, MAXP)
+
+    def wcond(state):
+        row, _ = state
+        return row < nrows
+
+    def wbody(state):
+        row, carry = state
+        return row + 1, body(row, carry)
+
+    _, (merge_labels, n, coord_sum, scatter, normal, mean, d) = jax.lax.while_loop(
+        wcond, wbody, (jnp.int32(0), carry0))
 
     merged = PlaneSegments(
         nr_planes=segments.nr_planes, n=n, coord_sum=coord_sum, scatter=scatter,

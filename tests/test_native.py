@@ -64,3 +64,41 @@ def test_backproject_matches_numpy(native):
     rows = np.repeat(np.arange(H, dtype=np.float32), W)
     ref = np.stack([(cols - cx) * z / fx, (rows - cy) * z / fy, z], axis=1)
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-3)
+
+
+def test_sequence_loader_ordered(native, tmp_path):
+    """Native threaded loader returns frames in order, matching direct decode."""
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    paths = []
+    frames = []
+    for i in range(9):
+        img = rng.integers(0, 2**16, size=(32, 48)).astype(np.uint16)
+        img[0, 0] = i  # order marker
+        p = tmp_path / f"{i:03d}.png"
+        Image.fromarray(img, mode="I;16").save(p)
+        paths.append(str(p))
+        frames.append(img)
+    loader = native.SequenceLoader(paths, width=48, height=32,
+                                   queue_depth=3, workers=3)
+    got = list(loader)
+    loader.close()
+    assert len(got) == 9
+    for i, (g, f) in enumerate(zip(got, frames)):
+        np.testing.assert_array_equal(g, f)
+
+
+def test_sequence_loader_cloud(native, tmp_path):
+    from PIL import Image
+
+    img = (np.arange(32 * 48).reshape(32, 48) % 5000).astype(np.uint16)
+    p = tmp_path / "f.png"
+    Image.fromarray(img, mode="I;16").save(p)
+    K = np.array([[100.0, 0, 23.5], [0, 100.0, 15.5], [0, 0, 1]], np.float32)
+    loader = native.SequenceLoader([str(p)], width=48, height=32)
+    cloud = loader.next_cloud(K)
+    assert loader.next_cloud(K) is None
+    loader.close()
+    ref = native.backproject(img, 100.0, 100.0, 23.5, 15.5)
+    np.testing.assert_allclose(cloud, ref)
