@@ -44,13 +44,31 @@ def main():
     latencies = []
     if args.batch <= 1:
         algorithm = PlaneExtractor(H, W, config)
-        algorithm.process(first.transform_to_pcd(K))  # compile
-        image = DepthImage()
-        for p in paths:
-            t0 = time.perf_counter()
-            image.reset(str(p))
-            labels = algorithm.process(image.transform_to_pcd(K))
-            latencies.append(time.perf_counter() - t0)
+        try:
+            # Native threaded loader: PNG decode overlaps device compute.
+            from deplex_tpu.native import SequenceLoader
+
+            loader = SequenceLoader([str(p) for p in paths], W, H)
+        except Exception:
+            loader = None
+        if loader is not None:
+            algorithm.process_depth(first.data, K)  # compile
+            while True:
+                t0 = time.perf_counter()
+                depth = loader.next_depth()
+                if depth is None:
+                    break
+                labels = algorithm.process_depth(depth, K)
+                latencies.append(time.perf_counter() - t0)
+            loader.close()
+        else:
+            algorithm.process(first.transform_to_pcd(K))  # compile
+            image = DepthImage()
+            for p in paths:
+                t0 = time.perf_counter()
+                image.reset(str(p))
+                labels = algorithm.process(image.transform_to_pcd(K))
+                latencies.append(time.perf_counter() - t0)
     else:
         B = args.batch
         algorithm = BatchPlaneExtractor(H, W, config)

@@ -50,3 +50,17 @@ def test_empty_frame():
     got = grow_rounds_pallas(stats, cfg, interpret=True)
     assert int(got.nr_rounds) == 0
     assert (np.asarray(got.round_map) == -1).all()
+
+
+def test_odd_grid_padding(tum_cloud):
+    """Non-aligned grid (gh, gw not multiples of 8/128): padded cells must
+    never join regions or histograms."""
+    pts, h, w = tum_cloud
+    crop = pts.reshape(h, w, 3)[:231, :315].reshape(-1, 3)  # 33x45 cells @ P=7
+    cfg = Config(patch_size=7, max_region_growing_rounds=128)
+    stats = compute_cell_stats(crop, 231, 315, cfg)
+    ref = grow_rounds(stats, cfg)
+    got = grow_rounds_pallas(stats, cfg, interpret=True)
+    assert int(got.nr_rounds) == int(ref.nr_rounds)
+    np.testing.assert_array_equal(np.asarray(got.round_map),
+                                  np.asarray(ref.round_map))
