@@ -7,6 +7,13 @@ plane fit are computed for ALL cells of the frame simultaneously as dense
 (gh, gw)-shaped tensor ops, and the per-cell dsyevh3 calls become one batched
 closed-form eigensolve.
 
+Layout note: all per-cell reductions use the free reshape
+(H, W) -> (gh, P, gw, P) (row-major compatible — a view, not a copy) and
+reduce over the in-cell axes; the cell-contiguous transpose the reference
+materializes (cell_grid.cpp:69-83, and an earlier version of this file)
+never exists on device. In-cell pixel walks (depth continuity, cell
+diameter) become strided image slices.
+
 Semantics notes (kept bit-faithful to the reference):
   * Cell statistics count ALL patch pixels, including invalid (z == 0) points
     which back-project to (0,0,0) (cell_segment_stat.cpp:29-35 uses every row).
@@ -14,7 +21,8 @@ Semantics notes (kept bit-faithful to the reference):
     because MatrixX3f::size() is rows*cols (cell_segment.cpp:24).
   * Depth continuity walks LINEAR in-cell indices [P*P//2, P*P//2+P) and
     [P//2 :: P], carrying `prev` only across continuous valid pixels
-    (cell_segment.cpp:62-97).
+    (cell_segment.cpp:62-97). For odd P the mid-row walk wraps into the next
+    in-cell row exactly like the reference's flat indexing.
   * The covariance is the scatter matrix  X'X - s s'/n  (not divided by n);
     MSE = lambda_min/n, score = lambda_max/sum(lambda)
     (cell_segment_stat.cpp:56-80). We compute the scatter in centered form
@@ -59,47 +67,70 @@ def compute_cell_stats(points: jax.Array, image_height: int, image_width: int,
     gh, gw = H // P, W // P
 
     pts = jnp.asarray(points).reshape(H, W, 3)[: gh * P, : gw * P, :].astype(jnp.float32)
-    # (gh, gw, P*P, 3) with row-major in-cell ordering (cell_grid.cpp:69-83).
-    cells = pts.reshape(gh, P, gw, P, 3).transpose(0, 2, 1, 3, 4).reshape(gh, gw, P * P, 3)
-    z = cells[..., 2]                                   # (gh, gw, P*P)
+    x_img, y_img, z_img = pts[..., 0], pts[..., 1], pts[..., 2]
+
+    def blocks(a):
+        """(gh*P, gw*P) -> per-cell sum (gh, gw); reshape is a free view."""
+        return jnp.sum(a.reshape(gh, P, gw, P), axis=(1, 3))
+
+    n = jnp.float32(P * P)
 
     # --- validity gate ---
     valid_thr = (P * P * 3) // config.min_pts_per_cell
-    nr_valid = jnp.sum(z > 0, axis=-1)
+    nr_valid = blocks((z_img > 0).astype(jnp.float32))
     has_valid = nr_valid >= valid_thr
 
-    # --- depth continuity (carried-prev scans) ---
+    # --- depth continuity (carried-prev scans over strided slices) ---
     thr = jnp.float32(config.depth_discontinuity_threshold)
     max_disc = config.max_number_depth_discontinuity
+    mid = P * P // 2
 
-    def scan_discontinuities(idx):
-        """Count depth jumps along the given linear in-cell indices."""
-        zi = z[..., idx]                                # (gh, gw, P)
+    def scan_discontinuities(in_cell_indices):
+        """Walk the given linear in-cell indices; count depth jumps."""
+
+        def cell_slice(i):
+            r, c = i // P, i % P
+            return z_img[r::P, c::P]                     # (gh, gw)
 
         def body(carry, i):
             prev, disc = carry
-            curr = zi[..., i]
+            curr = cell_slice(i)
             pos = curr > 0
             cont = pos & (jnp.abs(curr - prev) < thr)
             prev = jnp.where(cont, curr, prev)
             disc = disc + (pos & ~cont)
             return (prev, disc), None
 
-        init = (zi[..., 0], jnp.zeros((gh, gw), dtype=jnp.int32))
-        (_, disc), _ = jax.lax.scan(body, init, jnp.arange(P))
-        return disc
+        init = (cell_slice(in_cell_indices[0]),
+                jnp.zeros((gh, gw), dtype=jnp.int32))
+        carry = init
+        for i in in_cell_indices:
+            carry, _ = body(carry, i)
+        return carry[1]
 
-    mid = P * P // 2
-    disc_h = scan_discontinuities(mid + jnp.arange(P))
-    disc_v = scan_discontinuities(P // 2 + jnp.arange(P) * P)
+    disc_h = scan_discontinuities([mid + t for t in range(P)])
+    disc_v = scan_discontinuities([P // 2 + t * P for t in range(P)])
     continuous = (disc_h < max_disc) & (disc_v < max_disc)
 
     # --- PCA plane fit over ALL P*P points (zeros included) ---
-    n = jnp.float32(P * P)
-    coord_sum = jnp.sum(cells, axis=2)                  # (gh, gw, 3)
+    sx, sy, sz = blocks(x_img), blocks(y_img), blocks(z_img)
+    coord_sum = jnp.stack([sx, sy, sz], axis=-1)        # (gh, gw, 3)
     mean = coord_sum / n
-    centered = cells - mean[:, :, None, :]
-    scatter = jnp.einsum("ghpi,ghpj->ghij", centered, centered)
+
+    def bc(m):
+        """Broadcast per-cell scalar back over its pixels: (gh,gw)->(ghP,gwP)."""
+        return jnp.broadcast_to(m[:, None, :, None], (gh, P, gw, P)).reshape(
+            gh * P, gw * P)
+
+    cx_, cy_, cz_ = (x_img - bc(mean[..., 0]), y_img - bc(mean[..., 1]),
+                     z_img - bc(mean[..., 2]))
+    sxx, sxy, sxz = blocks(cx_ * cx_), blocks(cx_ * cy_), blocks(cx_ * cz_)
+    syy, syz, szz = blocks(cy_ * cy_), blocks(cy_ * cz_), blocks(cz_ * cz_)
+    scatter = jnp.stack([
+        jnp.stack([sxx, sxy, sxz], -1),
+        jnp.stack([sxy, syy, syz], -1),
+        jnp.stack([sxz, syz, szz], -1),
+    ], -2)                                              # (gh, gw, 3, 3)
 
     w, v = eigh3x3_min(scatter)                         # (gh,gw,3), (gh,gw,3)
     d_raw = -jnp.sum(mean * v, axis=-1)
@@ -107,19 +138,18 @@ def compute_cell_stats(points: jax.Array, image_height: int, image_width: int,
     normal = jnp.where(flip[..., None], v, -v)
     d = jnp.abs(d_raw)
     mse = w[..., 0] / n
-    wsum = jnp.sum(w, axis=-1)
-    score = jnp.where(wsum != 0, w[..., 2] / wsum, 0.0)
-    del score  # per-cell score is unused by the pipeline (only region-level)
 
     # --- planarity: depth-adaptive MSE threshold (cell_segment.cpp:99-102) ---
     sigma = config.depth_sigma_coeff * mean[..., 2] ** 2 + config.depth_sigma_margin
     small_error = mse <= sigma * sigma
     planar = has_valid & continuous & small_error
 
-    # --- merge tolerance ---
+    # --- merge tolerance (cell diameter = first vs last pixel) ---
     import math
     sin_angle = math.sqrt(max(0.0, 1.0 - min(config.min_cos_angle_merge, 1.0) ** 2))
-    diam = jnp.linalg.norm(cells[:, :, 0, :] - cells[:, :, -1, :], axis=-1)
+    first = pts[::P, ::P, :]
+    last = pts[P - 1::P, P - 1::P, :]
+    diam = jnp.linalg.norm(first - last, axis=-1)
     tol = jnp.clip(diam * sin_angle, 20.0, config.max_merge_dist) ** 2
 
     # Non-planar cells keep +inf MSE so they never win seed selection
