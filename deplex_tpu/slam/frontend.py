@@ -107,7 +107,16 @@ def slam_step(obs: PlaneObs, map_state: MapState, R_prior: jax.Array,
                      count=map_state.count)
 
     # ---- spawn landmarks for unmatched observations ----
-    unmatched = (usable.weight > 0) & ~matches.valid
+    # Suppress near-duplicates: an unmatched observation whose world-frame
+    # plane is close to ANY existing landmark (even one another observation
+    # matched) must not fork the map — duplicated landmarks bias later
+    # association and odometry.
+    dup_cos = jnp.einsum("pi,mi->pm", n_w_obs, fused.normal)
+    dup_d = jnp.abs(d_w_obs[:, None] - fused.d[None, :])
+    near_dup = jnp.any((dup_cos >= assoc.min_cos_angle)
+                       & (dup_d <= assoc.max_offset_dist)
+                       & (fused.weight > 0)[None, :], axis=1)
+    unmatched = (usable.weight > 0) & ~matches.valid & ~near_dup
     order = jnp.cumsum(unmatched.astype(jnp.int32)) - 1       # rank per obs
     slot = fused.count + order                                # target slots
     can = unmatched & (slot < M)

@@ -44,10 +44,13 @@ def estimate_pose(obs: PlaneObs, lm_normal: jax.Array, lm_d: jax.Array,
     idx = jnp.clip(match_lm, 0, lm_d.shape[0] - 1)
     n_w = lm_normal[idx]                                   # (P, 3)
     d_w = lm_d[idx]                                        # (P,)
-    w = jnp.where(match_valid & (obs.weight > 0), 1.0, 0.0)
-    # Normalize so H's scale is O(weights): keeps the relative damping
-    # meaningful and the 6x6 f32 solve well-conditioned.
-    w = w / jnp.maximum(jnp.sum(w), 1.0)
+    # Support-weighted: a plane observed by many pixels constrains the pose
+    # more than a small fragment (sqrt keeps one huge plane from dominating).
+    w = jnp.where(match_valid & (obs.weight > 0),
+                  jnp.sqrt(jnp.maximum(obs.weight, 0.0)), 0.0)
+    # Normalize so H's scale is O(1): keeps the relative damping meaningful
+    # and the 6x6 f32 solve well-conditioned.
+    w = w / jnp.maximum(jnp.sum(w), 1e-6)
 
     wn = jnp.float32(normal_weight)
     wd = jnp.float32(offset_weight)
@@ -62,6 +65,12 @@ def estimate_pose(obs: PlaneObs, lm_normal: jax.Array, lm_d: jax.Array,
     def body(_, state):
         R, t = state
         rn, rd, n_pred = residuals(R, t)
+        # Huber robustification: matches whose residual exceeds the scale
+        # (likely misassociations) get downweighted instead of dragging the
+        # solution (delta in the combined normal+offset residual norm).
+        r_norm = jnp.sqrt(jnp.sum(rn * rn, -1) + rd * rd + 1e-12)
+        delta = jnp.float32(100.0)
+        w_rob = w * jnp.minimum(1.0, delta / r_norm)
         # Jacobians wrt xi = (phi, rho), update on the left: R' = exp(phi) R.
         # d(n_pred)/dphi = -[n_pred]x ; d(d_pred)/dphi = ([n_pred]x t) . (.)
         # d(d_pred)/drho = -n_pred
@@ -80,10 +89,10 @@ def estimate_pose(obs: PlaneObs, lm_normal: jax.Array, lm_d: jax.Array,
         # Accumulate H (6x6) and b (6,) with per-match weights.
         Jn = jnp.concatenate([Jn_phi, jnp.zeros_like(Jn_phi)], axis=-1)  # (P,3,6)
         Jd = jnp.concatenate([Jd_phi, Jd_rho], axis=-1)                  # (P,6)
-        H = (jnp.einsum("p,pik,pil->kl", w, Jn, Jn)
-             + jnp.einsum("p,pk,pl->kl", w, Jd, Jd))
-        b = (jnp.einsum("p,pik,pi->k", w, Jn, rn)
-             + jnp.einsum("p,pk,p->k", w, Jd, rd))
+        H = (jnp.einsum("p,pik,pil->kl", w_rob, Jn, Jn)
+             + jnp.einsum("p,pk,pl->kl", w_rob, Jd, Jd))
+        b = (jnp.einsum("p,pik,pi->k", w_rob, Jn, rn)
+             + jnp.einsum("p,pk,p->k", w_rob, Jd, rd))
         # Marquardt diagonal damping: each parameter is damped relative to
         # its own curvature, so the (unit-scale) rotation block can't crush
         # the (mm-scale) translation block; a tiny absolute floor keeps
@@ -98,5 +107,5 @@ def estimate_pose(obs: PlaneObs, lm_normal: jax.Array, lm_d: jax.Array,
     R, t = jax.lax.fori_loop(0, iterations, body, (R0, t0))
     rn, rd, _ = residuals(R, t)
     res = jnp.sum(w * (jnp.sum(rn * rn, -1) + rd * rd))
-    return OdometryResult(R=R, t=t, num_inliers=jnp.sum(w).astype(jnp.int32),
-                          residual=res)
+    n_used = jnp.sum((w > 0).astype(jnp.int32))
+    return OdometryResult(R=R, t=t, num_inliers=n_used, residual=res)

@@ -46,7 +46,7 @@ def _edge_residual(Ra, ta, Rb, tb, mR, mt):
     return jnp.concatenate([r_rot, r_tr])
 
 
-def pose_graph_step(g: PoseGraph, *, damping: float = 1e-6,
+def pose_graph_step(g: PoseGraph, *, damping: float = 1e-5,
                     axis_name: str | None = None) -> PoseGraph:
     """One damped GN step; node 0 gauge-fixed. Edge axis may be sharded."""
     K = g.R.shape[0]
@@ -93,14 +93,25 @@ def pose_graph_step(g: PoseGraph, *, damping: float = 1e-6,
     H = H.at[0, :, 0, :].set(jnp.eye(6, dtype=H.dtype))
     b_vec = b_vec * mask[:, None]
 
-    Hd = H.reshape(K * 6, K * 6) + damping * jnp.eye(K * 6, dtype=H.dtype)
+    Hd = H.reshape(K * 6, K * 6)
+    # Marquardt diagonal damping + absolute floor (disconnected nodes).
+    diag = jnp.diagonal(Hd)
+    Hd = Hd + jnp.diag(damping * diag + 1e-8 * jnp.maximum(jnp.max(diag), 1.0))
     dx = -jnp.linalg.solve(Hd, b_vec.reshape(-1)).reshape(K, 6)
+    dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+    # Trust region: Gauss-Newton on SO(3) residuals diverges on overshoot
+    # (so3_log is only valid below pi); clamp per-node step norms.
+    rot_n = jnp.linalg.norm(dx[:, :3], axis=1, keepdims=True)
+    dx = dx.at[:, :3].multiply(jnp.minimum(1.0, 0.5 / jnp.maximum(rot_n, 1e-12)))
+    tr_n = jnp.linalg.norm(dx[:, 3:], axis=1, keepdims=True)
+    max_t = 10.0 * jnp.maximum(jnp.max(jnp.abs(g.meas_t)), 1.0)
+    dx = dx.at[:, 3:].multiply(jnp.minimum(1.0, max_t / jnp.maximum(tr_n, 1e-12)))
     dR, dt = se3_exp(dx)
     return g._replace(R=dR @ g.R, t=jnp.einsum("kij,kj->ki", dR, g.t) + dt)
 
 
 def optimize_pose_graph(g: PoseGraph, *, iterations: int = 20,
-                        damping: float = 1e-6) -> PoseGraph:
+                        damping: float = 1e-5) -> PoseGraph:
     def body(_, graph):
         return pose_graph_step(graph, damping=damping)
 
