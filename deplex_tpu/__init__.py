@@ -43,3 +43,17 @@ from deplex_tpu.extractor import PlaneExtractor
 __version__ = "0.1.0"
 
 __all__ = ["Config", "PlaneExtractor", "__version__"]
+
+
+def __getattr__(name):
+    # Lazy heavyweight entry points (avoid importing jax-compiled modules
+    # until used): deplex_tpu.PlaneSlam, deplex_tpu.extract_primitives.
+    if name == "PlaneSlam":
+        from deplex_tpu.slam import PlaneSlam
+
+        return PlaneSlam
+    if name == "extract_primitives":
+        from deplex_tpu.pipeline import extract_primitives
+
+        return extract_primitives
+    raise AttributeError(f"module 'deplex_tpu' has no attribute {name!r}")
