@@ -54,13 +54,27 @@ def _round_up(n, m):
     return (n + m - 1) // m * m
 
 
+def _pack_factor(n_frames: int, gw: int) -> int:
+    """Frames packed side-by-side along lanes in one sublane band.
+
+    A 640-wide frame at patch 10 has gw=64 cells: padding it alone to the
+    128-lane tile wastes half of every vector op. Packing two frames per
+    band (cols [0,64) and [64,128)) makes the canvas half the size, so the
+    shared flood-fill / consumption vector work runs ~2x faster. Leak-safe
+    because admissibility edges are False on every frame border
+    (growing.admissibility_edges) and padding cells are non-planar.
+    """
+    return 2 if (gw <= _LANES // 2 and n_frames % 2 == 0) else 1
+
+
 def pallas_batched_supported(n_frames: int, grid_shape, config: Config) -> bool:
-    """VMEM check for the stacked-batch kernel ((B*PH, PW) planes)."""
+    """VMEM check for the stacked-batch kernel ((NB*PH, PW) planes)."""
     gh, gw = grid_shape
+    k = _pack_factor(n_frames, gw)
     ph, pw = _round_up(gh, _SUBLANES), _round_up(gw, _LANES)
     if config.histogram_bins_per_coord ** 2 > _SUBLANES * _LANES:
         return False
-    vmem = (22 * n_frames * ph * pw * 4
+    vmem = (22 * (n_frames // k) * ph * pw * 4
             + n_frames * config.max_region_growing_rounds * _LANES * 4)
     if vmem > 10 * 1024 * 1024:
         return False
@@ -235,17 +249,22 @@ def _kernel_batched(nr_pts_ref, hist0_ref, planar_ref, bins_ref, mse_ref,
                     mx_ref, my_ref, mz_ref, sxx_ref, sxy_ref, sxz_ref,
                     syy_ref, syz_ref, szz_ref,
                     round_map_ref, sums_ref, nrounds_ref, *,
-                    n_frames: int, ph: int, r_max: int, min_candidates: int):
-    """Batched rounds loop: frames stacked along sublanes ((B*PH, PW) planes).
+                    n_frames: int, ph: int, r_max: int, min_candidates: int,
+                    k: int):
+    """Batched rounds loop: frames stacked along sublanes AND lanes.
 
-    Flood fill / consumption / bins updates run once on the stacked planes
-    (8x the data per vector op — the amortization), while tiny per-frame
-    scalar steps (argmax bin, seed argmin, row writes) unroll over the B
-    static band slices. Vertical flood shifts cannot leak across frame
-    bands because each frame's border edge masks are False.
+    Each sublane band of `ph` rows holds `k` frames side by side along the
+    lane axis (k = _pack_factor; 2 for VGA-at-patch-10 grids whose 64-cell
+    width would otherwise waste half of every 128-lane vector op). Flood
+    fill / consumption / bins updates run once on the stacked canvas, while
+    tiny per-frame scalar steps (argmax bin, seed argmin, row writes)
+    unroll over static band slices + lane-half masks. Shifts cannot leak
+    across frames: border edge masks are False in both directions.
     """
     B, PH = n_frames, ph
+    NB = B // k
     BPH, PW = planar_ref.shape
+    HALF = PW // k
     f32 = jnp.float32
     nr_pts = nr_pts_ref[0, 0]
 
@@ -256,9 +275,10 @@ def _kernel_batched(nr_pts_ref, hist0_ref, planar_ref, bins_ref, mse_ref,
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (BPH, PW), 0)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (BPH, PW), 1)
-    # Frame-local flat id (same for every band so band slices compare alike).
-    flat_iota = (row_iota % PH) * PW + col_iota
-    big = jnp.int32(PH * PW + 1)
+    # Frame-local flat id (identical across bands/halves so slices compare
+    # alike; monotonic in (row, col) so argmin tie-breaks match the XLA path).
+    flat_iota = (row_iota % PH) * HALF + col_iota % HALF
+    big = jnp.int32(PH * HALF + 1)
 
     hrow_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 0)
     hcol_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 1)
@@ -270,18 +290,40 @@ def _kernel_batched(nr_pts_ref, hist0_ref, planar_ref, bins_ref, mse_ref,
     hband_masks = [(hrow_full >= f * _SUBLANES) & (hrow_full < (f + 1) * _SUBLANES)
                    for f in range(B)]
 
-    band_masks = [(row_iota >= f * PH) & (row_iota < (f + 1) * PH)
-                  for f in range(B)]
+    # Per-band lane-half masks ((PH, PW); None when the band is one frame).
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (PH, PW), 1)
+    if k == 1:
+        half_masks = [None]
+    else:
+        half_masks = [(bcol >= h * HALF) & (bcol < (h + 1) * HALF)
+                      for h in range(k)]
+
+    def mwhere(h, x, fill):
+        return x if half_masks[h] is None else jnp.where(half_masks[h], x, fill)
+
+    def hsel(vals):
+        """Per-band (PH, PW) plane holding vals[h] on lane-half h."""
+        if k == 1:
+            return jnp.broadcast_to(vals[0], (PH, PW))
+        out = jnp.where(half_masks[0], vals[0], vals[1])
+        for h in range(2, k):
+            out = jnp.where(half_masks[h], vals[h], out)
+        return out
 
     round_map_ref[:] = jnp.full((BPH, PW), -1, jnp.int32)
     sums_ref[:] = jnp.zeros_like(sums_ref)
 
-    def band(x, f):
-        return x[f * PH:(f + 1) * PH, :]
+    def band(x, b):
+        return x[b * PH:(b + 1) * PH, :]
+
+    def assemble(parts):
+        """NB per-band (PH, PW) planes -> (BPH, PW) canvas."""
+        return parts[0] if NB == 1 else jnp.concatenate(parts, axis=0)
 
     hist = hist0_ref[:]                      # (B*8, 128)
 
-    remaining0 = tuple(jnp.sum(band(planar, f)) for f in range(B))
+    remaining0 = tuple(
+        jnp.sum(mwhere(f % k, band(planar, f // k), 0.0)) for f in range(B))
     active0 = tuple(r > 0.0 for r in remaining0)
     r0 = tuple(jnp.int32(0) for _ in range(B))
 
@@ -295,26 +337,27 @@ def _kernel_batched(nr_pts_ref, hist0_ref, planar_ref, bins_ref, mse_ref,
     def body(state):
         g, remaining, active, hist, bins, unassigned = state
 
-        # --- per-frame: dominant bin + seed (static band slices) ---
+        # --- per-frame: dominant bin + seed (band slices + half masks) ---
         seeds = []
         stops = []
         for f in range(B):
+            b, hf = divmod(f, k)
             h = hist[f * _SUBLANES:(f + 1) * _SUBLANES, :]
             peak = jnp.max(h)
             mf_bin = jnp.min(jnp.where(h == peak, hbin_iota, jnp.int32(1 << 20)))
             stop_f = peak < float(min_candidates)
-            cand_f = band(bins, f) == mf_bin
-            smse = jnp.where(cand_f, band(mse, f), jnp.inf)
+            cand_f = band(bins, b) == mf_bin
+            if half_masks[hf] is not None:
+                cand_f = cand_f & half_masks[hf]
+            smse = jnp.where(cand_f, band(mse, b), jnp.inf)
             m = jnp.min(smse)
-            seed_flat = jnp.min(jnp.where(smse == m, band(flat_iota, f), big))
+            seed_flat = jnp.min(jnp.where(smse == m, band(flat_iota, b), big))
             ok = active[f] & jnp.logical_not(stop_f)
             seeds.append(jnp.where(ok, seed_flat, big))
             stops.append(stop_f)
 
-        # Seed plane: one comparison against the per-frame broadcast seeds.
-        seed_bc = jnp.zeros((BPH, PW), jnp.int32)
-        for f in range(B):
-            seed_bc = seed_bc + jnp.where(band_masks[f], seeds[f], 0)
+        # Seed plane: per-band assembly of the broadcast seed ids.
+        seed_bc = assemble([hsel(seeds[b * k:(b + 1) * k]) for b in range(NB)])
         seed = (flat_iota == seed_bc).astype(f32)
 
         # --- shared flood fill over all frames at once ---
@@ -344,19 +387,35 @@ def _kernel_batched(nr_pts_ref, hist0_ref, planar_ref, bins_ref, mse_ref,
 
         def dec_body(ds):
             hist, rem = ds
-            sel_bc = jnp.zeros((BPH, PW), jnp.int32)
+            sels = []
             for f in range(B):
-                sel_f = jnp.min(jnp.where(band(rem, f) > 0, band(flat_iota, f), big))
-                sel_bc = sel_bc + jnp.where(band_masks[f], sel_f, 0)
+                b, hf = divmod(f, k)
+                rpos = band(rem, b) > 0
+                if half_masks[hf] is not None:
+                    rpos = rpos & half_masks[hf]
+                sels.append(jnp.min(jnp.where(rpos, band(flat_iota, b), big)))
+            sel_bc = assemble([hsel(sels[b * k:(b + 1) * k])
+                               for b in range(NB)])
             is_sel = (flat_iota == sel_bc) & (rem > 0)
-            members = jnp.zeros((BPH, PW), jnp.bool_)
             hist_delta = jnp.zeros_like(hist)
+            bsel = []
             for f in range(B):
-                b_f = jnp.sum(jnp.where(band(is_sel, f), band(bins, f), 0))
-                cnt = jnp.sum((band(bins, f) == b_f) & (band(rem, f) > 0))
+                b, hf = divmod(f, k)
+                sel_f = band(is_sel, b)
+                if half_masks[hf] is not None:
+                    sel_f = sel_f & half_masks[hf]
+                b_f = jnp.sum(jnp.where(sel_f, band(bins, b), 0))
+                memb_f = band(bins, b) == b_f
+                if half_masks[hf] is not None:
+                    memb_f = memb_f & half_masks[hf]
+                cnt = jnp.sum(memb_f & (band(rem, b) > 0))
                 hist_delta = hist_delta + jnp.where(
                     hband_masks[f] & (hbin_full == b_f), cnt.astype(f32), 0.0)
-                members = members | (band_masks[f] & (bins == b_f))
+                bsel.append(memb_f)
+            members = assemble([
+                bsel[b * k] if k == 1 else
+                functools.reduce(jnp.logical_or, bsel[b * k:(b + 1) * k])
+                for b in range(NB)])
             hist = hist - hist_delta
             rem = jnp.where(members & (rem > 0), 0.0, rem)
             return hist, rem
@@ -367,49 +426,65 @@ def _kernel_batched(nr_pts_ref, hist0_ref, planar_ref, bins_ref, mse_ref,
 
         # --- per-frame sums + row writes ---
         wgt = region + seed * region
-        tx = wgt * csx_ref[:]
-        ty = wgt * csy_ref[:]
-        tz = wgt * csz_ref[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
         new_remaining = []
         new_active = []
         new_g = []
-        for f in range(B):
-            w_f = band(wgt, f)
-            size_f = jnp.sum(band(region, f))
-            n_tot = jnp.sum(w_f) * nr_pts
-            n_safe = jnp.maximum(n_tot, 1.0)
-            sx = jnp.sum(band(tx, f))
-            sy = jnp.sum(band(ty, f))
-            sz = jnp.sum(band(tz, f))
-            mux, muy, muz = sx / n_safe, sy / n_safe, sz / n_safe
-            dx = band(mx_ref[:], f) - mux
-            dy = band(my_ref[:], f) - muy
-            dz = band(mz_ref[:], f) - muz
-            xx = jnp.sum(w_f * (band(sxx_ref[:], f) + nr_pts * dx * dx))
-            xy = jnp.sum(w_f * (band(sxy_ref[:], f) + nr_pts * dx * dy))
-            xz = jnp.sum(w_f * (band(sxz_ref[:], f) + nr_pts * dx * dz))
-            yy = jnp.sum(w_f * (band(syy_ref[:], f) + nr_pts * dy * dy))
-            yz = jnp.sum(w_f * (band(syz_ref[:], f) + nr_pts * dy * dz))
-            zz = jnp.sum(w_f * (band(szz_ref[:], f) + nr_pts * dz * dz))
-            vals = [n_tot, sx, sy, sz, xx, xy, xz, yy, yz, zz, size_f]
-            row = jnp.zeros((1, _LANES), f32)
-            for i, v in enumerate(vals):
-                row = row + jnp.where(lane == i, v, 0.0)
-            row = jnp.where(active[f], row, jnp.zeros_like(row))
-            idx = f * r_max + jnp.minimum(g[f], r_max - 1)
-            sums_ref[pl.ds(idx, 1), :] = jnp.where(
-                active[f], row, sums_ref[pl.ds(idx, 1), :])
-            rem_f = remaining[f] - size_f
-            g_next = g[f] + active[f].astype(jnp.int32)
-            new_remaining.append(rem_f)
-            new_active.append(active[f] & jnp.logical_not(stops[f])
-                              & (rem_f > 0.0) & (g_next < r_max))
-            new_g.append(g_next)
+        for b in range(NB):
+            w_b = band(wgt, b)
+            reg_b = band(region, b)
+            csx_b, csy_b, csz_b = band(csx_ref[:], b), band(csy_ref[:], b), \
+                band(csz_ref[:], b)
+            # Per-half masked weights; first moments per frame.
+            firsts = []
+            for hf in range(k):
+                w_f = mwhere(hf, w_b, 0.0)
+                size_f = jnp.sum(mwhere(hf, reg_b, 0.0))
+                n_tot = jnp.sum(w_f) * nr_pts
+                n_safe = jnp.maximum(n_tot, 1.0)
+                sx = jnp.sum(w_f * csx_b)
+                sy = jnp.sum(w_f * csy_b)
+                sz = jnp.sum(w_f * csz_b)
+                firsts.append((w_f, size_f, n_tot,
+                               sx, sy, sz, sx / n_safe, sy / n_safe, sz / n_safe))
+            # Shared second-moment terms: mean broadcast over halves, Chan
+            # combination computed once per band for all packed frames.
+            dx = band(mx_ref[:], b) - hsel([fr[6] for fr in firsts])
+            dy = band(my_ref[:], b) - hsel([fr[7] for fr in firsts])
+            dz = band(mz_ref[:], b) - hsel([fr[8] for fr in firsts])
+            xxt = band(sxx_ref[:], b) + nr_pts * dx * dx
+            xyt = band(sxy_ref[:], b) + nr_pts * dx * dy
+            xzt = band(sxz_ref[:], b) + nr_pts * dx * dz
+            yyt = band(syy_ref[:], b) + nr_pts * dy * dy
+            yzt = band(syz_ref[:], b) + nr_pts * dy * dz
+            zzt = band(szz_ref[:], b) + nr_pts * dz * dz
+            for hf in range(k):
+                f = b * k + hf
+                w_f, size_f, n_tot, sx, sy, sz, _, _, _ = firsts[hf]
+                xx = jnp.sum(w_f * xxt)
+                xy = jnp.sum(w_f * xyt)
+                xz = jnp.sum(w_f * xzt)
+                yy = jnp.sum(w_f * yyt)
+                yz = jnp.sum(w_f * yzt)
+                zz = jnp.sum(w_f * zzt)
+                vals = [n_tot, sx, sy, sz, xx, xy, xz, yy, yz, zz, size_f]
+                row = jnp.zeros((1, _LANES), f32)
+                for i, v in enumerate(vals):
+                    row = row + jnp.where(lane == i, v, 0.0)
+                row = jnp.where(active[f], row, jnp.zeros_like(row))
+                idx = f * r_max + jnp.minimum(g[f], r_max - 1)
+                sums_ref[pl.ds(idx, 1), :] = jnp.where(
+                    active[f], row, sums_ref[pl.ds(idx, 1), :])
+                rem_f = remaining[f] - size_f
+                g_next = g[f] + active[f].astype(jnp.int32)
+                new_remaining.append(rem_f)
+                new_active.append(active[f] & jnp.logical_not(stops[f])
+                                  & (rem_f > 0.0) & (g_next < r_max))
+                new_g.append(g_next)
 
-        round_map_ref[:] = jnp.where(region > 0,
-                                     _round_bc(g, active, band_masks, BPH, PW),
-                                     round_map_ref[:])
+        round_bc = assemble([hsel([g[b * k + h] for h in range(k)])
+                             for b in range(NB)])
+        round_map_ref[:] = jnp.where(region > 0, round_bc, round_map_ref[:])
 
         return (tuple(new_g), tuple(new_remaining), tuple(new_active),
                 hist, bins, unassigned)
@@ -418,14 +493,6 @@ def _kernel_batched(nr_pts_ref, hist0_ref, planar_ref, bins_ref, mse_ref,
         cond, body, (r0, remaining0, active0, hist, bins, planar))
     for f in range(B):
         nrounds_ref[f, 0] = g_fin[f]
-
-
-def _round_bc(g, active, band_masks, BPH, PW):
-    """Broadcast each frame's current round index over its band."""
-    out = jnp.zeros((BPH, PW), jnp.int32)
-    for f, mask in enumerate(band_masks):
-        out = out + jnp.where(mask, g[f], 0)
-    return out
 
 
 def grow_rounds_pallas_batched(stats: CellStats, config: Config, *,
@@ -440,7 +507,10 @@ def grow_rounds_pallas_batched(stats: CellStats, config: Config, *,
     from deplex_tpu.ops.histogram import histogram_counts
 
     B, gh, gw = stats.planar.shape
+    K = _pack_factor(B, gw)
     PH, PW = _round_up(gh, _SUBLANES), _round_up(gw, _LANES)
+    HALF = PW // K
+    NB = B // K
     R_MAX = config.max_region_growing_rounds
     nb = config.histogram_bins_per_coord
 
@@ -451,10 +521,12 @@ def grow_rounds_pallas_batched(stats: CellStats, config: Config, *,
                      .reshape(_SUBLANES, _LANES))(bins)
 
     def stack(x, fill):
-        """(B, gh, gw) -> (B*PH, PW) with per-frame padding."""
-        xp = jnp.pad(x, ((0, 0), (0, PH - gh), (0, PW - gw)),
+        """(B, gh, gw) -> (NB*PH, PW): K frames per sublane band."""
+        xp = jnp.pad(x, ((0, 0), (0, PH - gh), (0, HALF - gw)),
                      constant_values=fill)
-        return xp.reshape(B * PH, PW)
+        if K == 1:
+            return xp.reshape(B * PH, PW)
+        return xp.reshape(NB, K, PH, HALF).swapaxes(1, 2).reshape(NB * PH, PW)
 
     f = jnp.float32
     inputs = [
@@ -484,12 +556,12 @@ def grow_rounds_pallas_batched(stats: CellStats, config: Config, *,
 
     kernel = functools.partial(
         _kernel_batched, n_frames=B, ph=PH, r_max=R_MAX,
-        min_candidates=config.min_region_growing_candidate_size)
+        min_candidates=config.min_region_growing_candidate_size, k=K)
 
     round_map_p, sums, nrounds = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((B * PH, PW), jnp.int32),
+            jax.ShapeDtypeStruct((NB * PH, PW), jnp.int32),
             jax.ShapeDtypeStruct((B * R_MAX, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ),
@@ -504,7 +576,8 @@ def grow_rounds_pallas_batched(stats: CellStats, config: Config, *,
     )(*inputs)
 
     return RoundData(
-        round_map=round_map_p.reshape(B, PH, PW)[:, :gh, :gw],
+        round_map=round_map_p.reshape(NB, PH, K, HALF).swapaxes(1, 2)
+        .reshape(B, PH, HALF)[:, :gh, :gw],
         sums=sums.reshape(B, R_MAX, _LANES)[:, :, :16],
         nr_rounds=nrounds[:, 0],
     )
