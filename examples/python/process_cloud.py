@@ -11,6 +11,11 @@ import time
 
 ROOT = pathlib.Path(__file__).resolve().parents[2]
 
+import sys
+
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
 
 def main():
     parser = argparse.ArgumentParser()

@@ -15,6 +15,11 @@ import numpy as np
 
 ROOT = pathlib.Path(__file__).resolve().parents[2]
 
+import sys
+
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
 
 def main():
     parser = argparse.ArgumentParser()

@@ -14,6 +14,11 @@ import numpy as np
 
 ROOT = pathlib.Path(__file__).resolve().parents[2]
 
+import sys
+
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
 
 def synthetic_sequence(n_frames, H, W, K, rng):
     """Depth frames of a 4m x 4m x 3m box room from a moving camera."""

@@ -8,6 +8,10 @@ this image); without it the colored cloud is written as CSV
 """
 
 import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import numpy as np
 

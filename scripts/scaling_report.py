@@ -12,6 +12,10 @@ row. Simulate a mesh on CPU with:
 """
 
 import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import json
 import pathlib
 import time
