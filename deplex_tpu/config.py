@@ -59,6 +59,9 @@ class Config:
     # Region-growing backend: None = auto (Pallas kernel on TPU when the
     # grid fits its VMEM budget, XLA loop otherwise), True/False = force.
     use_pallas_growing: bool | None = None
+    # Cell-statistics backend for the raw-depth path: None = auto (fused
+    # Pallas depth->moments kernel on TPU when supported), True/False = force.
+    use_pallas_cellstats: bool | None = None
     # --- Cylinder extraction (CAPE's second primitive; not in the
     # reference library, SURVEY.md "Planes only") ---
     cylinder_extraction: bool = False
@@ -144,6 +147,7 @@ _INI_KEYS = {
     "maxPlanes": "max_planes",
     "maxRegionGrowingRounds": "max_region_growing_rounds",
     "usePallasGrowing": "use_pallas_growing",
+    "usePallasCellstats": "use_pallas_cellstats",
     "cylinderExtraction": "cylinder_extraction",
     "minCylinderCells": "min_cylinder_cells",
     "maxCylinders": "max_cylinders",

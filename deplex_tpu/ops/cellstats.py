@@ -56,6 +56,56 @@ class CellStats(NamedTuple):
     scatter: jax.Array       # (gh, gw, 3, 3) centered second-moment matrix
 
 
+class CellMoments(NamedTuple):
+    """Raw per-cell moments, the backend-independent intermediate between
+    the pixel-level reduction (XLA block sums here, or the fused Pallas
+    depth kernel in ops/pallas_cellstats.py) and the shared gate/eigensolve
+    finalization. All shaped (gh, gw, ...)."""
+
+    nr_valid: jax.Array      # (gh, gw) count of z > 0 points
+    disc_h: jax.Array        # (gh, gw) mid-row depth discontinuities
+    disc_v: jax.Array        # (gh, gw) mid-column depth discontinuities
+    coord_sum: jax.Array     # (gh, gw, 3) sum of points (zeros included)
+    scatter: jax.Array       # (gh, gw, 3, 3) centered second moments
+    diam: jax.Array          # (gh, gw) first-to-last pixel distance
+
+
+def finalize_cell_stats(m: CellMoments, P: int, config: Config) -> CellStats:
+    """Shared tail: PCA eigensolve + all validity gates on (gh, gw) planes.
+
+    Mirrors cell_segment.cpp:57-110 + cell_segment_stat.cpp:55-81 exactly
+    (see the module docstring for the bit-faithfulness notes).
+    """
+    n = jnp.float32(P * P)
+    valid_thr = (P * P * 3) // config.min_pts_per_cell
+    has_valid = m.nr_valid >= valid_thr
+    max_disc = config.max_number_depth_discontinuity
+    continuous = (m.disc_h < max_disc) & (m.disc_v < max_disc)
+
+    mean = m.coord_sum / n
+    w, v = eigh3x3_min(m.scatter)
+    d_raw = -jnp.sum(mean * v, axis=-1)
+    flip = d_raw > 0
+    normal = jnp.where(flip[..., None], v, -v)
+    d = jnp.abs(d_raw)
+    mse = w[..., 0] / n
+
+    sigma = config.depth_sigma_coeff * mean[..., 2] ** 2 + config.depth_sigma_margin
+    small_error = mse <= sigma * sigma
+    planar = has_valid & continuous & small_error
+
+    import math
+    sin_angle = math.sqrt(max(0.0, 1.0 - min(config.min_cos_angle_merge, 1.0) ** 2))
+    tol = jnp.clip(m.diam * sin_angle, 20.0, config.max_merge_dist) ** 2
+
+    # Non-planar cells keep +inf MSE so they never win seed selection
+    # (CellSegmentStat default, cell_segment_stat.cpp:27).
+    mse = jnp.where(planar, mse, jnp.float32(jnp.finfo(jnp.float32).max))
+
+    return CellStats(planar=planar, normal=normal, mean=mean, d=d, mse=mse,
+                     tol=tol, nr_pts=n, coord_sum=m.coord_sum, scatter=m.scatter)
+
+
 def compute_cell_stats(points: jax.Array, image_height: int, image_width: int,
                        config: Config) -> CellStats:
     """points: (H*W, 3) organized cloud -> per-cell statistics.
@@ -132,29 +182,11 @@ def compute_cell_stats(points: jax.Array, image_height: int, image_width: int,
         jnp.stack([sxz, syz, szz], -1),
     ], -2)                                              # (gh, gw, 3, 3)
 
-    w, v = eigh3x3_min(scatter)                         # (gh,gw,3), (gh,gw,3)
-    d_raw = -jnp.sum(mean * v, axis=-1)
-    flip = d_raw > 0
-    normal = jnp.where(flip[..., None], v, -v)
-    d = jnp.abs(d_raw)
-    mse = w[..., 0] / n
-
-    # --- planarity: depth-adaptive MSE threshold (cell_segment.cpp:99-102) ---
-    sigma = config.depth_sigma_coeff * mean[..., 2] ** 2 + config.depth_sigma_margin
-    small_error = mse <= sigma * sigma
-    planar = has_valid & continuous & small_error
-
     # --- merge tolerance (cell diameter = first vs last pixel) ---
-    import math
-    sin_angle = math.sqrt(max(0.0, 1.0 - min(config.min_cos_angle_merge, 1.0) ** 2))
     first = pts[::P, ::P, :]
     last = pts[P - 1::P, P - 1::P, :]
     diam = jnp.linalg.norm(first - last, axis=-1)
-    tol = jnp.clip(diam * sin_angle, 20.0, config.max_merge_dist) ** 2
 
-    # Non-planar cells keep +inf MSE so they never win seed selection
-    # (CellSegmentStat default, cell_segment_stat.cpp:27).
-    mse = jnp.where(planar, mse, jnp.float32(jnp.finfo(jnp.float32).max))
-
-    return CellStats(planar=planar, normal=normal, mean=mean, d=d, mse=mse,
-                     tol=tol, nr_pts=n, coord_sum=coord_sum, scatter=scatter)
+    moments = CellMoments(nr_valid=nr_valid, disc_h=disc_h, disc_v=disc_v,
+                          coord_sum=coord_sum, scatter=scatter, diam=diam)
+    return finalize_cell_stats(moments, P, config)

@@ -45,15 +45,22 @@ def extract_depth_batch(depth_batch, intrinsics, config: Config):
     from deplex_tpu.ops.cellstats import compute_cell_stats
     from deplex_tpu.ops.growing import finalize_rounds, grow_planes, grow_rounds
     from deplex_tpu.ops.merge import merge_planes, rasterize_labels
+    from deplex_tpu.ops.pallas_cellstats import (cell_stats_from_depth_pallas,
+                                                 pallas_cellstats_auto)
     from deplex_tpu.ops.pallas_growing import (grow_rounds_pallas_batched,
                                                pallas_batched_supported)
     from deplex_tpu.pipeline import backproject_device
 
     B, H, W = depth_batch.shape
     P = min(config.patch_size, min(H, W))
-    pts = jax.vmap(lambda d: backproject_device(d, intrinsics))(depth_batch)
-    stats = jax.vmap(
-        lambda p: compute_cell_stats(p, H, W, config))(pts)
+    if pallas_cellstats_auto(H, W, config):
+        # Fused depth->moments kernel: the point cloud never exists in HBM.
+        stats = cell_stats_from_depth_pallas(depth_batch, intrinsics, config)
+        pts = None
+    else:
+        pts = jax.vmap(lambda d: backproject_device(d, intrinsics))(depth_batch)
+        stats = jax.vmap(
+            lambda p: compute_cell_stats(p, H, W, config))(pts)
 
     use_pallas = config.use_pallas_growing
     gh, gw = stats.planar.shape[1:]
@@ -71,6 +78,9 @@ def extract_depth_batch(depth_batch, intrinsics, config: Config):
     if config.ransac_refinement:
         from deplex_tpu.ops.ransac import refine_labels
 
+        if pts is None:
+            pts = jax.vmap(
+                lambda d: backproject_device(d, intrinsics))(depth_batch)
         labels = jax.vmap(lambda p, l: refine_labels(p, l, config))(pts, labels)
     return labels
 

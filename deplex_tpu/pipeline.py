@@ -74,9 +74,25 @@ def extract_planes_from_depth(depth: jax.Array, intrinsics: jax.Array, *,
                               config: Config) -> jax.Array:
     """uint16 depth (H, W) + 3x3 intrinsics -> (H*W,) int32 labels.
 
-    Single fused XLA program: back-projection + all pipeline stages.
+    Single fused XLA program: back-projection + all pipeline stages. When
+    the fused Pallas depth->moments kernel applies (and RANSAC is off so
+    the point cloud is never needed), stage 1 reads only the depth map.
     """
+    from deplex_tpu.ops.pallas_cellstats import (cell_stats_from_depth_pallas,
+                                                 pallas_cellstats_auto)
+
     H, W = depth.shape
+    if not config.ransac_refinement and pallas_cellstats_auto(H, W, config):
+        from deplex_tpu.ops.growing import grow_planes
+        from deplex_tpu.ops.merge import merge_planes, rasterize_labels
+
+        P = min(config.patch_size, min(H, W))
+        stats = jax.tree.map(
+            lambda a: a[0],
+            cell_stats_from_depth_pallas(depth[None], intrinsics, config))
+        labels_map, segments = grow_planes(stats, config)
+        merge_labels, _ = merge_planes(labels_map, segments, config)
+        return rasterize_labels(labels_map, merge_labels, H, W, P)
     points = backproject_device(depth, intrinsics)
     return extract_planes(points, image_height=H, image_width=W, config=config)
 

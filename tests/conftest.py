@@ -40,6 +40,16 @@ def tum_cloud():
 
 
 @pytest.fixture(scope="session")
+def tum_image():
+    """Raw uint16 depth + intrinsics (for the fused depth-path kernels)."""
+    from deplex_tpu.utils import DepthImage, read_intrinsics
+
+    img = DepthImage(str(DATA / "tum" / "1341848230.910894.png"))
+    K = read_intrinsics(str(DATA / "configs" / "TUM_fr3_long_val.K"))
+    return img.data, K
+
+
+@pytest.fixture(scope="session")
 def icl_cloud():
     from deplex_tpu.utils import DepthImage, read_intrinsics
 

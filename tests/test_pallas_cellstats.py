@@ -1,0 +1,87 @@
+"""Fused Pallas depth->moments kernel vs the XLA cellstats path.
+
+Runs in interpret mode on CPU; the gates must agree exactly and the
+moments to f32 reduction-order tolerance (the TPU conformance anchor is
+the end-to-end golden-label F1, recorded in BASELINE.md).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deplex_tpu import Config
+from deplex_tpu.ops.cellstats import compute_cell_stats
+from deplex_tpu.ops.pallas_cellstats import (cell_moments_pallas,
+                                             cell_stats_from_depth_pallas,
+                                             pallas_cellstats_auto,
+                                             pallas_cellstats_supported)
+from deplex_tpu.pipeline import backproject_device
+
+
+@pytest.fixture(scope="module")
+def tum_depth(tum_image):
+    depth, K = tum_image
+    return jnp.asarray(depth), jnp.asarray(np.asarray(K, np.float32))
+
+
+def _compare(depth, K, cfg, H, W):
+    ref = compute_cell_stats(backproject_device(depth, K), H, W, cfg)
+    got = jax.tree.map(
+        lambda a: a[0],
+        cell_stats_from_depth_pallas(depth[None], K, cfg, interpret=True))
+
+    np.testing.assert_array_equal(np.asarray(got.planar), np.asarray(ref.planar))
+    np.testing.assert_allclose(np.asarray(got.coord_sum),
+                               np.asarray(ref.coord_sum), rtol=1e-5, atol=1e-2)
+    # Scatter to a tolerance scaled by its trace (centered f32 sums).
+    tr = np.trace(np.asarray(ref.scatter), axis1=-2, axis2=-1)
+    err = np.abs(np.asarray(got.scatter) - np.asarray(ref.scatter))
+    assert (err <= 1e-4 * tr[..., None, None] + 1e-2).all()
+    np.testing.assert_allclose(np.asarray(got.tol), np.asarray(ref.tol),
+                               rtol=1e-4)
+
+
+def test_moments_match_xla_tum(tum_depth):
+    depth, K = tum_depth
+    H, W = depth.shape
+    _compare(depth, K, Config(), H, W)
+
+
+def test_moments_match_xla_small_patch(tum_depth):
+    depth, K = tum_depth
+    crop = depth[:256, :256]
+    _compare(crop, K, Config(patch_size=4), 256, 256)
+
+
+def test_continuity_and_validity_gates_exact(tum_depth):
+    """Gate counts (valid points, discontinuities) are integer-exact."""
+    depth, K = tum_depth
+    H, W = depth.shape
+    cfg = Config()
+    m = cell_moments_pallas(depth[None], K, cfg, interpret=True)
+    ref = compute_cell_stats(backproject_device(depth, K), H, W, cfg)
+    # Recompute the reference walks through the public XLA path pieces:
+    # planar equality already pins them jointly; spot-check integer-ness.
+    assert np.allclose(np.asarray(m.nr_valid) % 1.0, 0.0)
+    assert np.allclose(np.asarray(m.disc_h) % 1.0, 0.0)
+    assert np.allclose(np.asarray(m.disc_v) % 1.0, 0.0)
+    del ref
+
+
+def test_supported_and_auto_policy():
+    cfg = Config()                       # P=10
+    assert pallas_cellstats_supported(480, 640, cfg) in (True, False)
+    # Auto mode refuses small patches even where supported; force overrides.
+    small = Config(patch_size=4)
+    on_tpu = pallas_cellstats_supported(480, 640, small)
+    assert pallas_cellstats_auto(480, 640, small) is False or not on_tpu
+    forced = dataclasses.replace(small, use_pallas_cellstats=True)
+    assert pallas_cellstats_auto(480, 640, forced) == \
+        pallas_cellstats_supported(480, 640, forced)
+    off = dataclasses.replace(cfg, use_pallas_cellstats=False)
+    assert pallas_cellstats_auto(480, 640, off) is False
+    # Odd patch sizes are unsupported (continuity walk assumes even P).
+    assert pallas_cellstats_supported(480, 640, Config(patch_size=5)) is False
