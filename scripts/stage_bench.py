@@ -1,0 +1,154 @@
+"""Per-stage device-time breakdown of the batched extraction pipeline.
+
+Times each pipeline stage as its own device-side fori_loop (ring of G
+distinct inputs so nothing hoists; outputs folded into the carry so
+nothing elides), matching bench.py's serving protocol. Prints one line
+per stage: name, µs/frame, share of the summed pipeline.
+
+Usage:  timeout 1800 python scripts/stage_bench.py [--repeats 200]
+"""
+
+import argparse
+import functools
+import os
+import pathlib
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deplex_tpu import Config
+from deplex_tpu.utils import DepthImage, read_intrinsics
+
+
+def ring_loop(stage_fn, ring, n_iters):
+    """Run stage_fn over a G-ring of inputs n_iters times on device."""
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(ring, n):
+        G = jax.tree.leaves(ring)[0].shape[0]
+
+        def body(i, acc):
+            out = stage_fn(jax.tree.map(lambda a: a[i % G], ring))
+            out = jax.lax.optimization_barrier(out)
+            leaves = jax.tree.leaves(out)
+            s = jnp.float32(0)
+            for leaf in leaves:
+                s = s + jnp.sum(leaf.astype(jnp.float32).ravel()[:8])
+            return acc + s
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    return run(ring, n_iters)
+
+
+def time_stage(name, stage_fn, ring, repeats, batch):
+    ring_loop(stage_fn, ring, 2).block_until_ready()  # compile + warm
+    t0 = time.perf_counter()
+    ring_loop(stage_fn, ring, repeats).block_until_ready()
+    dt = time.perf_counter() - t0
+    us = dt / (repeats * batch) * 1e6
+    return name, us
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeats", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--ring", type=int, default=4)
+    args = ap.parse_args()
+
+    img = DepthImage(str(ROOT / "data" / "tum" / "1341848230.910894.png"))
+    K = jnp.asarray(
+        read_intrinsics(str(ROOT / "data" / "configs" / "TUM_fr3_long_val.K")),
+        jnp.float32)
+    cfg = Config()
+    B, G = args.batch, args.ring
+    H, W = img.height, img.width
+
+    rng = np.random.default_rng(0)
+    base = np.asarray(img.data, np.uint16)
+    frames = np.stack([
+        np.roll(base, (rng.integers(0, 8), rng.integers(0, 8)), (0, 1))
+        for _ in range(G * B)])
+    depth_ring = jnp.asarray(frames.reshape(G, B, H, W))
+
+    from deplex_tpu.ops.growing import finalize_rounds
+    from deplex_tpu.ops.merge import merge_planes, rasterize_labels
+    from deplex_tpu.ops.pallas_cellstats import cell_stats_from_depth_pallas
+    from deplex_tpu.ops.pallas_growing import grow_rounds_pallas_batched
+    from deplex_tpu.parallel.batch import extract_depth_batch
+
+    P = min(cfg.patch_size, min(H, W))
+
+    # Precompute inter-stage inputs once (rings of real intermediates).
+    stats_ring = jax.jit(jax.vmap(
+        lambda d: cell_stats_from_depth_pallas(d, K, cfg)))(depth_ring)
+    rounds_ring = jax.jit(jax.vmap(
+        lambda s: grow_rounds_pallas_batched(s, cfg)))(stats_ring)
+    lmseg_ring = jax.jit(jax.vmap(jax.vmap(
+        lambda r: finalize_rounds(r, cfg))))(rounds_ring)
+    labels_map_ring, segments_ring = lmseg_ring
+
+    results = []
+    results.append(time_stage(
+        "cellstats (depth->stats kernel+finalize)",
+        lambda d: cell_stats_from_depth_pallas(d, K, cfg),
+        depth_ring, args.repeats, B))
+    results.append(time_stage(
+        "grow_rounds (batched Pallas kernel)",
+        lambda s: grow_rounds_pallas_batched(s, cfg),
+        stats_ring, args.repeats, B))
+    results.append(time_stage(
+        "finalize_rounds (fits+gates+labels)",
+        jax.vmap(lambda r: finalize_rounds(r, cfg)),
+        rounds_ring, args.repeats, B))
+
+    def merge_raster(args2):
+        lm, seg = args2
+        ml, _ = jax.vmap(lambda l, s: merge_planes(l, s, cfg))(lm, seg)
+        return jax.vmap(lambda l, m: rasterize_labels(l, m, H, W, P))(lm, ml)
+
+    class Pair(tuple):
+        pass
+
+    # merge+rasterize ring: pack (labels_map, segments) as a pytree ring.
+    merged_ring = (labels_map_ring, segments_ring)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_merge(lm_ring, seg_ring, n):
+        Gn = lm_ring.shape[0]
+
+        def body(i, acc):
+            lm, seg = jax.tree.map(lambda a: a[i % Gn], (lm_ring, seg_ring))
+            out = merge_raster((lm, seg))
+            out = jax.lax.optimization_barrier(out)
+            return acc + jnp.sum(out.astype(jnp.float32).ravel()[:8])
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    run_merge(labels_map_ring, segments_ring, 2).block_until_ready()
+    t0 = time.perf_counter()
+    run_merge(labels_map_ring, segments_ring, args.repeats).block_until_ready()
+    dt = time.perf_counter() - t0
+    results.append(("merge+rasterize", dt / (args.repeats * B) * 1e6))
+
+    results.append(time_stage(
+        "FULL pipeline (extract_depth_batch)",
+        lambda d: extract_depth_batch(d, K, cfg),
+        depth_ring, args.repeats, B))
+
+    total = results[-1][1]
+    print(f"\nB={B}, {args.repeats} iters, µs/frame (device loop):")
+    for name, us in results:
+        print(f"  {name:45s} {us:8.1f}  ({us / total * 100:5.1f}% of full)")
+
+
+if __name__ == "__main__":
+    main()
