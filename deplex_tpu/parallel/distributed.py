@@ -31,11 +31,27 @@ def initialize(coordinator_address: str | None = None,
 
     No-ops when single-process and no coordinator is configured (so the
     same launcher script works from 1 host to N hosts). Arguments default
-    to the standard JAX_* environment variables / TPU metadata.
+    to the env contract exported by parallel.launcher
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID); on a
+    real TPU pod all three come from the TPU metadata and none is needed.
     """
-    if num_processes is None and coordinator_address is None \
-            and "JAX_COORDINATOR_ADDRESS" not in os.environ:
+    env = os.environ
+    if coordinator_address is None:
+        coordinator_address = env.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and env.get("JAX_NUM_PROCESSES"):
+        num_processes = int(env["JAX_NUM_PROCESSES"])
+    if process_id is None and env.get("JAX_PROCESS_ID"):
+        process_id = int(env["JAX_PROCESS_ID"])
+    if num_processes is None and coordinator_address is None:
         return
+    # The CPU backend ships no cross-process collectives by default; gloo
+    # backs the DCN path when simulating hosts with CPU devices. Harmless
+    # on TPU (the knob only affects the CPU client) and must be set before
+    # the backend initializes.
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # pragma: no cover - knob renamed/absent
+        pass
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

@@ -164,7 +164,7 @@ class TestBA:
 
     def test_ba_sharded_matches_dense(self):
         """Keyframe-sharded BA step over the 8-device CPU mesh == dense step."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import Mesh, PartitionSpec as P
 
         rng = np.random.default_rng(8)
@@ -185,7 +185,7 @@ class TestBA:
                                 obs_normal=P("kf"), obs_d=P("kf"),
                                 obs_lm=P("kf"), obs_w=P("kf")),),
             out_specs=(type(dense))(R=P("kf"), t=P("kf"), eta=P(), cost=P()),
-            check_rep=False)
+            check_vma=False)
         sharded = jax.jit(sharded_fn)(prob)
         # f32 reduction order differs between the psum/all_gather path and
         # the dense path; agreement is to GN-step accuracy, not bitwise.
