@@ -33,6 +33,7 @@ Semantics notes (kept bit-faithful to the reference):
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -40,6 +41,22 @@ import jax.numpy as jnp
 
 from deplex_tpu.config import Config
 from deplex_tpu.ops.eigh3x3 import eigh3x3_min
+
+
+def matmul_band_split(gh: int, cell_height: int, cell_width: int) -> int | None:
+    """Row-band count S for the MXU segment-matmul moment reduction, or None.
+
+    Shared between the fused Pallas kernel (ops/pallas_cellstats.py) and the
+    XLA mirror below so both tile identically — a requirement for their
+    bit-equality. S must divide gh (cells never straddle bands), keep the
+    band's cell rows sublane-aligned, and keep a ~6-plane f32 working set of
+    one band inside VMEM.
+    """
+    for s in range(1, gh + 1):
+        if gh % s == 0 and (gh // s) % 8 == 0 and \
+                6 * (cell_height // s) * cell_width * 4 <= 6 * 1024 * 1024:
+            return s
+    return None
 
 
 class CellStats(NamedTuple):
@@ -163,30 +180,98 @@ def compute_cell_stats(points: jax.Array, image_height: int, image_width: int,
     continuous = (disc_h < max_disc) & (disc_v < max_disc)
 
     # --- PCA plane fit over ALL P*P points (zeros included) ---
-    sx, sy, sz = blocks(x_img), blocks(y_img), blocks(z_img)
-    coord_sum = jnp.stack([sx, sy, sz], axis=-1)        # (gh, gw, 3)
-    mean = coord_sum / n
+    S = matmul_band_split(gh, gh * P, gw * P)
+    if S is not None:
+        # MXU segment-matmul moments with first-pixel anchoring — the same
+        # tiling/order as the fused Pallas kernel (bit-equal to it), and
+        # ~100x less λ_min rounding noise than the plain centered sums.
+        coord_sum, scatter = _moments_matmul(x_img, y_img, z_img, P, gh, gw, S)
+    else:
+        # Small/odd grids (tiny frames): plain block reductions.
+        sx, sy, sz = blocks(x_img), blocks(y_img), blocks(z_img)
+        coord_sum = jnp.stack([sx, sy, sz], axis=-1)    # (gh, gw, 3)
+        mean_ = coord_sum / n
 
-    def bc(m):
-        """Broadcast per-cell scalar back over its pixels: (gh,gw)->(ghP,gwP)."""
-        return jnp.broadcast_to(m[:, None, :, None], (gh, P, gw, P)).reshape(
-            gh * P, gw * P)
+        def bc(m):
+            """Broadcast per-cell scalar over its pixels: (gh,gw)->(ghP,gwP)."""
+            return jnp.broadcast_to(m[:, None, :, None], (gh, P, gw, P)).reshape(
+                gh * P, gw * P)
 
-    cx_, cy_, cz_ = (x_img - bc(mean[..., 0]), y_img - bc(mean[..., 1]),
-                     z_img - bc(mean[..., 2]))
-    sxx, sxy, sxz = blocks(cx_ * cx_), blocks(cx_ * cy_), blocks(cx_ * cz_)
-    syy, syz, szz = blocks(cy_ * cy_), blocks(cy_ * cz_), blocks(cz_ * cz_)
-    scatter = jnp.stack([
-        jnp.stack([sxx, sxy, sxz], -1),
-        jnp.stack([sxy, syy, syz], -1),
-        jnp.stack([sxz, syz, szz], -1),
-    ], -2)                                              # (gh, gw, 3, 3)
+        cx_, cy_, cz_ = (x_img - bc(mean_[..., 0]), y_img - bc(mean_[..., 1]),
+                         z_img - bc(mean_[..., 2]))
+        sxx, sxy, sxz = blocks(cx_ * cx_), blocks(cx_ * cy_), blocks(cx_ * cz_)
+        syy, syz, szz = blocks(cy_ * cy_), blocks(cy_ * cz_), blocks(cz_ * cz_)
+        scatter = jnp.stack([
+            jnp.stack([sxx, sxy, sxz], -1),
+            jnp.stack([sxy, syy, syz], -1),
+            jnp.stack([sxz, syz, szz], -1),
+        ], -2)                                          # (gh, gw, 3, 3)
 
     # --- merge tolerance (cell diameter = first vs last pixel) ---
     first = pts[::P, ::P, :]
     last = pts[P - 1::P, P - 1::P, :]
-    diam = jnp.linalg.norm(first - last, axis=-1)
+    dd = first - last
+    diam = jnp.sqrt(dd[..., 0] * dd[..., 0] + dd[..., 1] * dd[..., 1]
+                    + dd[..., 2] * dd[..., 2])
 
     moments = CellMoments(nr_valid=nr_valid, disc_h=disc_h, disc_v=disc_v,
                           coord_sum=coord_sum, scatter=scatter, diam=diam)
     return finalize_cell_stats(moments, P, config)
+
+
+def _moments_matmul(x_img, y_img, z_img, P: int, gh: int, gw: int, S: int):
+    """Per-cell (coord_sum, scatter) via MXU segment matmuls, bit-compatible
+    with the fused Pallas kernel (ops/pallas_cellstats.py:_kernel): the jnp
+    dots lower to the same MXU contractions Mosaic emits, over the same
+    row-band tiling (equality asserted in tests/test_pallas_cellstats.py).
+
+    Each cell's coordinates are anchored to its first pixel before the
+    centered second moments: the scatter matrix is translation-invariant in
+    exact arithmetic, and summing cell-local-small values instead of
+    absolute coordinates shrinks the f32 rounding noise in λ_min (and the
+    fitted normal) by ~2 orders of magnitude. On noiseless data (ICL-NUIM)
+    λ_min is pure rounding noise, so this is what stabilizes seed selection
+    — the P=4 conformance fix (BASELINE.md)."""
+    Hc, Wc = gh * P, gw * P
+    ghs, hcs = gh // S, Hc // S
+    n = jnp.float32(P * P)
+    dot = functools.partial(jax.lax.dot, precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+
+    def block(rows, cols, transpose=False):
+        i = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        return ((i // P == j) if transpose else (j // P == i)).astype(jnp.float32)
+
+    Sv = block(ghs, hcs)                  # (ghs, hcs): sum rows per cell-row
+    Sh = block(Wc, gw, transpose=True)    # (Wc, gw): sum cols per cell-col
+
+    def per_band(xb, yb, zb, axb, ayb, azb):
+        def bsum(a):                      # (hcs, Wc) -> (ghs, gw)
+            return dot(dot(Sv, a), Sh)
+
+        def bc(m):                        # exact per-cell broadcast
+            return jnp.broadcast_to(m[:, None, :, None],
+                                    (ghs, P, gw, P)).reshape(hcs, Wc)
+
+        sx, sy, sz = bsum(xb), bsum(yb), bsum(zb)
+        xs, ys, zs = xb - bc(axb), yb - bc(ayb), zb - bc(azb)
+        sxs, sys_, szs = bsum(xs), bsum(ys), bsum(zs)
+        cx_, cy_, cz_ = xs - bc(sxs / n), ys - bc(sys_ / n), zs - bc(szs / n)
+        return (sx, sy, sz, bsum(cx_ * cx_), bsum(cx_ * cy_), bsum(cx_ * cz_),
+                bsum(cy_ * cy_), bsum(cy_ * cz_), bsum(cz_ * cz_))
+
+    ax, ay, az = x_img[::P, ::P], y_img[::P, ::P], z_img[::P, ::P]  # (gh, gw)
+    outs = jax.lax.map(
+        lambda t: per_band(*t),
+        (x_img.reshape(S, hcs, Wc), y_img.reshape(S, hcs, Wc),
+         z_img.reshape(S, hcs, Wc),
+         ax.reshape(S, ghs, gw), ay.reshape(S, ghs, gw), az.reshape(S, ghs, gw)))
+    sx, sy, sz, sxx, sxy, sxz, syy, syz, szz = [o.reshape(gh, gw) for o in outs]
+    coord_sum = jnp.stack([sx, sy, sz], -1)
+    scatter = jnp.stack([
+        jnp.stack([sxx, sxy, sxz], -1),
+        jnp.stack([sxy, syy, syz], -1),
+        jnp.stack([sxz, syz, szz], -1),
+    ], -2)
+    return coord_sum, scatter

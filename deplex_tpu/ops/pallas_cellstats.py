@@ -37,7 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from deplex_tpu.config import Config
-from deplex_tpu.ops.cellstats import CellMoments, CellStats, finalize_cell_stats
+from deplex_tpu.ops.cellstats import (CellMoments, CellStats,
+                                      finalize_cell_stats, matmul_band_split)
 
 _LANES = 128
 _SUBLANES = 8
@@ -53,9 +54,7 @@ def pallas_cellstats_supported(image_height: int, image_width: int,
     if Wc % _LANES != 0 or Hc % _SUBLANES != 0 or gh % _SUBLANES != 0:
         return False
     # A row-band split with an in-VMEM f32 working set must exist.
-    if not any(gh % s == 0 and (gh // s) % _SUBLANES == 0
-               and 6 * (Hc // s) * Wc * 4 <= 6 * 1024 * 1024
-               for s in range(1, gh + 1)):
+    if matmul_band_split(gh, Hc, Wc) is None:
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -65,21 +64,17 @@ def pallas_cellstats_supported(image_height: int, image_width: int,
 
 def pallas_cellstats_auto(image_height: int, image_width: int,
                           config: Config) -> bool:
-    """Auto-mode policy (use_pallas_cellstats=None): fused kernel only for
-    patch sizes >= 6. Small cells (e.g. ICL's P=4) have few-sample scatter
-    matrices whose f32 reduction-order sensitivity shifts more seed-order
-    tie-breaks; the XLA path holds a wider conformance margin there (both
-    paths are equally close to the f64 oracle — measured mean |mse - f64|
-    0.0416 Pallas vs 0.0448 XLA on ICL — but golden-label F1 tie-breaks
-    land better on the XLA path: 0.972 vs 0.953). Force True to trade that
-    margin for throughput."""
+    """Auto-mode policy (use_pallas_cellstats=None): fused kernel whenever
+    supported. Small patches (ICL's P=4) are included since the first-pixel
+    anchoring of the centered moments (see _kernel): λ_min of a noiseless
+    cell is pure f32 rounding noise, and anchoring shrinks it ~100x, which
+    stabilized seed tie-breaks and recovered ICL F1 to the XLA path's 0.972
+    (from 0.953 unanchored — BASELINE.md history). The XLA path computes
+    the identical banded MXU reduction (cellstats._moments_matmul), so both
+    backends agree bit-for-bit where the kernel is supported."""
     if config.use_pallas_cellstats is False:
         return False
-    ok = pallas_cellstats_supported(image_height, image_width, config)
-    if config.use_pallas_cellstats:
-        return ok
-    P = min(config.patch_size, min(image_height, image_width))
-    return ok and P >= 6
+    return pallas_cellstats_supported(image_height, image_width, config)
 
 
 def _kernel(kparams_ref, depth_ref,
@@ -144,9 +139,24 @@ def _kernel(kparams_ref, depth_ref,
     def bc(m):                    # (gh, gw) -> (Hc, W)
         return dot(dot(SvT, m), ShT)
 
-    cx_ = x - bc(sx / n)
-    cy_ = y - bc(sy / n)
-    cz_ = z - bc(sz / n)
+    # First-pixel anchors (exact: zf is a one-hot extraction; zf*uf equals
+    # x at the cell's first pixel bitwise). Anchoring before centering makes
+    # every summand cell-local-small: the scatter is translation-invariant
+    # in exact arithmetic, and λ_min's f32 rounding noise drops ~100x — the
+    # seed-stability fix for small patches (cellstats._moments_matmul is the
+    # bit-identical XLA mirror).
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, gw), 1).astype(f32)
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (gh, 1), 0).astype(f32)
+    uf = (iota_j * P - cx) / fx
+    vf = (iota_i * P + row0.astype(f32) - cy) / fy
+    zf = dot(dot(seg(gh, Hc, 0, P), z), _colsel(W, gw, 0, P))
+    xs = x - bc(zf * uf)
+    ys = y - bc(zf * vf)
+    zs = z - bc(zf)
+    sxs, sys_, szs = bsum(xs), bsum(ys), bsum(zs)
+    cx_ = xs - bc(sxs / n)
+    cy_ = ys - bc(sys_ / n)
+    cz_ = zs - bc(szs / n)
     sxx_ref[0] = bsum(cx_ * cx_)
     sxy_ref[0] = bsum(cx_ * cy_)
     sxz_ref[0] = bsum(cx_ * cz_)
@@ -187,14 +197,10 @@ def _kernel(kparams_ref, depth_ref,
     dv_ref[0] = walk([zvsteps[t * gh:(t + 1) * gh, :] for t in range(P)])
 
     # --- cell diameter: first (0,0) vs last (P-1,P-1) pixel of each cell ---
-    zf = dot(dot(seg(gh, Hc, 0, P), z), _colsel(W, gw, 0, P))
+    # (zf/uf/vf already extracted above for the anchors.)
     zl = dot(dot(seg(gh, Hc, P - 1, P), z), _colsel(W, gw, P - 1, P))
-    iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, gw), 1).astype(f32)
-    iota_i = jax.lax.broadcasted_iota(jnp.int32, (gh, 1), 0).astype(f32)
-    uf = (iota_j * P - cx) / fx
     ul = (iota_j * P + (P - 1) - cx) / fx
     # Global first pixel row of cell row i in this band = i*P + row0.
-    vf = (iota_i * P + row0.astype(f32) - cy) / fy
     vl = (iota_i * P + row0.astype(f32) + (P - 1) - cy) / fy
     dxp = zf * uf - zl * ul
     dyp = zf * vf - zl * vl
@@ -227,10 +233,10 @@ def cell_moments_pallas(depth: jax.Array, intrinsics: jax.Array,
 
     # Split each frame into S row-bands so the per-program f32 working set
     # (~6 planes of the band) stays well inside VMEM; S must divide gh so
-    # cells never straddle bands.
-    S = next(s for s in range(1, gh + 1)
-             if gh % s == 0 and (gh // s) % _SUBLANES == 0
-             and 6 * (Hc // s) * Wc * 4 <= 6 * 1024 * 1024)
+    # cells never straddle bands (shared predicate with the XLA mirror).
+    S = matmul_band_split(gh, Hc, Wc)
+    if S is None:
+        raise ValueError(f"no VMEM band split for grid {gh}x{gw} (P={P})")
     ghs, hcs = gh // S, Hc // S
 
     kernel = functools.partial(

@@ -50,6 +50,54 @@ def test_moments_match_xla_tum(tum_depth):
     _compare(depth, K, Config(), H, W)
 
 
+@pytest.mark.parametrize("patch", [10, 4])
+def test_stats_match_xla_path(tum_depth, patch):
+    """Where the kernel is supported, the XLA path computes the IDENTICAL
+    banded anchored MXU reduction (cellstats._moments_matmul). On TPU the
+    two programs are bit-equal (asserted by scripts/tpu_conformance.py on
+    hardware); on CPU, XLA's per-program FMA contraction introduces 1-ulp
+    differences between separately compiled programs, so this asserts the
+    exact-by-construction fields bitwise and the rest to ulp-scale
+    tolerances. P=4 is the ICL geometry whose seed tie-breaks motivated
+    the anchored moments."""
+    from deplex_tpu.ops.cellstats import matmul_band_split
+
+    depth, K = tum_depth
+    H, W = depth.shape
+    cfg = Config(patch_size=patch)
+    gh, gw = H // patch, W // patch
+    assert matmul_band_split(gh, gh * patch, gw * patch) is not None
+    ref = jax.jit(lambda d, k: compute_cell_stats(
+        backproject_device(d, k), H, W, cfg))(depth, K)
+    got = jax.jit(lambda d, k: jax.tree.map(
+        lambda a: a[0],
+        cell_stats_from_depth_pallas(d[None], k, cfg, interpret=True)))(depth, K)
+
+    bitwise = ("planar", "mean", "coord_sum", "nr_pts")
+    if jax.default_backend() == "tpu":  # pragma: no cover - CPU suite
+        bitwise = ("planar", "normal", "mean", "d", "mse", "tol",
+                   "coord_sum", "scatter")
+    for field in bitwise:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, field)), np.asarray(getattr(ref, field)),
+            err_msg=field)
+    # Anchored scatter entries are cell-local-small; ulp-scale agreement.
+    tr = np.trace(np.asarray(ref.scatter), axis1=-2, axis2=-1)
+    err = np.abs(np.asarray(got.scatter) - np.asarray(ref.scatter))
+    assert (err <= 2e-5 * tr[..., None, None] + 1e-2).all()
+    np.testing.assert_allclose(np.asarray(got.tol), np.asarray(ref.tol),
+                               rtol=1e-5)
+    # Normals agree to ulp scale except on eigengap-degenerate cells
+    # (λ_min ~ λ_mid — e.g. a cell straddling a plane intersection), where
+    # the min-eigenvector direction is genuinely unstable under 1-ulp input
+    # changes. Those must be a vanishing fraction.
+    pl_mask = np.asarray(ref.planar)
+    ndiff = np.abs(np.asarray(got.normal) - np.asarray(ref.normal)).max(-1)
+    frac_unstable = float((ndiff[pl_mask] > 1e-3).mean())
+    assert frac_unstable < 0.01, frac_unstable
+    assert float(np.quantile(ndiff[pl_mask], 0.99)) < 1e-4
+
+
 def test_moments_match_xla_small_patch(tum_depth):
     depth, K = tum_depth
     crop = depth[:256, :256]
@@ -74,10 +122,11 @@ def test_continuity_and_validity_gates_exact(tum_depth):
 def test_supported_and_auto_policy():
     cfg = Config()                       # P=10
     assert pallas_cellstats_supported(480, 640, cfg) in (True, False)
-    # Auto mode refuses small patches even where supported; force overrides.
+    # Auto mode follows support everywhere, small patches included (the
+    # anchored moments fixed the P=4 conformance margin — BASELINE.md).
     small = Config(patch_size=4)
-    on_tpu = pallas_cellstats_supported(480, 640, small)
-    assert pallas_cellstats_auto(480, 640, small) is False or not on_tpu
+    assert pallas_cellstats_auto(480, 640, small) == \
+        pallas_cellstats_supported(480, 640, small)
     forced = dataclasses.replace(small, use_pallas_cellstats=True)
     assert pallas_cellstats_auto(480, 640, forced) == \
         pallas_cellstats_supported(480, 640, forced)
