@@ -1,19 +1,24 @@
 """Stage 6 — batched RANSAC plane refinement.
 
 TPU-native equivalent of RTL::PlaneRANSAC (libs/rtl/include/rtl/RANSAC.hpp:25-98,
-Plane.hpp:13-56): instead of a serial hypothesize-and-verify loop with
-early exit, ALL ransac_max_iterations hypotheses per plane are generated and
-scored in one shot, and the best (minimum outlier count) model wins — at
-least as good a model as the reference's first-past-the-post early exit, and
-it maps onto two matmuls per plane.
+Plane.hpp:13-56): ALL ransac_max_iterations hypotheses per plane are
+generated and scored in one shot (two matmuls per plane), then the
+reference's sequential stopping rule is reproduced exactly on the score
+vector — no serial loop ever runs on device.
 
 Per plane p:
   models: 3 random in-plane points -> exact plane through them (the
           reference's closed-form determinant expressions reduce to the
           normalized cross-product plane; computed that way here)
   loss[k] = #{ i in plane p : |n_k . x_i + d_k| >= threshold }
-  best    = argmin_k loss
-Pixels of p that are outliers of the best model are relabeled 0
+  winner  = the reference's early-exit selection (RANSAC.hpp:77-79):
+          iterate hypotheses in order, keep the running best, stop once the
+          running best's inlier count reaches ransac_inliers_ratio * n_p.
+          Vectorized: s = first k whose running-max inlier count meets the
+          target, winner = argmin loss over the prefix [0..s] (the whole
+          sweep when no prefix reaches the target). ransac_inliers_ratio=1
+          (RTL's default) degenerates to argmin over all K.
+Pixels of p that are outliers of the winning model are relabeled 0
 (plane_extractor.cpp:497-507).
 
 Randomness: jax PRNG (fixed seed by default) replaces the reference's
@@ -29,6 +34,28 @@ import jax
 import jax.numpy as jnp
 
 from deplex_tpu.config import Config
+
+
+def reference_stop_winner(loss: jax.Array, n_points: jax.Array,
+                          ratio: jax.Array) -> jax.Array:
+    """Index of the reference's early-exit winner given all hypothesis losses.
+
+    RTL::PlaneRANSAC::FindBest (RANSAC.hpp:34-51, IsContinued :77-79)
+    iterates hypotheses in order keeping the running best and stops once the
+    running best's inlier count reaches ratio * n_points; the returned model
+    is the best of the hypotheses evaluated so far. Vectorized over the
+    precomputed loss vector: stop = first index whose running-max inlier
+    count meets the target (last index when never reached), winner = argmin
+    loss over the prefix [0..stop]. ratio=1 (RTL's default) degenerates to
+    the global argmin.
+    """
+    K = loss.shape[0]
+    inliers = n_points - loss
+    run_best = jax.lax.associative_scan(jnp.maximum, inliers)
+    reached = run_best >= ratio * n_points
+    stop = jnp.where(jnp.any(reached), jnp.argmax(reached), K - 1)
+    prefix_loss = jnp.where(jnp.arange(K) <= stop, loss, jnp.inf)
+    return jnp.argmin(prefix_loss)
 
 
 def _fit_3pt_plane(p0, p1, p2):
@@ -82,6 +109,8 @@ def refine_labels(points: jax.Array, labels: jax.Array, config: Config,
         n, d = _fit_3pt_plane(tri[:, 0], tri[:, 1], tri[:, 2])
         return n, d
 
+    ratio = jnp.float32(config.ransac_inliers_ratio)
+
     def score_plane(carry, inp):
         p, k = inp
         n, d = per_plane(p, k)                              # (K,3), (K,)
@@ -91,7 +120,7 @@ def refine_labels(points: jax.Array, labels: jax.Array, config: Config,
         outlier = (jnp.abs(err) >= thr).astype(jnp.float32)
         loss = mask @ outlier                               # (K,)
         loss = jnp.where(jnp.isnan(loss), jnp.inf, loss)
-        best = jnp.argmin(loss)
+        best = reference_stop_winner(loss, jnp.sum(mask), ratio)
         return carry, (n[best], d[best])
 
     _, (best_n, best_d) = jax.lax.scan(score_plane, None, (plane_ids, keys))

@@ -47,3 +47,84 @@ def test_refinement_only_removes_labels(tum_cloud):
     refined = PlaneExtractor(h, w, Config(ransac_refinement=True)).process(pts)
     changed = refined != coarse
     assert (refined[changed] == 0).all()
+
+
+class TestInliersRatioSemantics:
+    """ransac_inliers_ratio drives the reference's early-exit stopping rule
+    (RANSAC.hpp:77-79); reference_stop_winner reproduces it on the
+    precomputed loss vector."""
+
+    def test_ratio_one_is_global_argmin(self):
+        import jax.numpy as jnp
+
+        from deplex_tpu.ops.ransac import reference_stop_winner
+
+        loss = jnp.asarray([10.0, 3.0, 6.0, 1.0, 4.0])
+        w = reference_stop_winner(loss, jnp.float32(20.0), jnp.float32(1.0))
+        assert int(w) == 3
+
+    def test_early_exit_stops_before_global_best(self):
+        import jax.numpy as jnp
+
+        from deplex_tpu.ops.ransac import reference_stop_winner
+
+        # n=20, ratio 0.8 -> target 16 inliers. Losses give inliers
+        # [10, 17, 14, 19]; the running best reaches 16 at k=1, so the
+        # reference stops there and returns hypothesis 1, NOT the globally
+        # better hypothesis 3.
+        loss = jnp.asarray([10.0, 3.0, 6.0, 1.0])
+        w = reference_stop_winner(loss, jnp.float32(20.0), jnp.float32(0.8))
+        assert int(w) == 1
+
+    def test_winner_is_best_of_prefix(self):
+        import jax.numpy as jnp
+
+        from deplex_tpu.ops.ransac import reference_stop_winner
+
+        # Target reached at k=2; winner is the prefix's best (k=2), even
+        # though k=0 came first.
+        loss = jnp.asarray([8.0, 9.0, 2.0, 1.0])
+        w = reference_stop_winner(loss, jnp.float32(20.0), jnp.float32(0.85))
+        assert int(w) == 2
+
+    def test_ratio_changes_refined_labels(self, tum_cloud):
+        """The config field is live end-to-end: the shipped TUM ini's 0.15
+        early exit produces different labels than exhaustive search."""
+        import dataclasses
+
+        pts, h, w = tum_cloud
+        cfg_early = Config(ransac_refinement=True, ransac_inliers_ratio=0.15)
+        cfg_full = dataclasses.replace(cfg_early, ransac_inliers_ratio=1.0)
+        lab_early = PlaneExtractor(h, w, cfg_early).process(pts)
+        lab_full = PlaneExtractor(h, w, cfg_full).process(pts)
+        assert (lab_early != lab_full).any()
+        # Exhaustive search keeps at least as many inliers per plane.
+        assert (lab_full > 0).sum() >= (lab_early > 0).sum() * 0.9
+
+
+def test_refined_labels_golden_f1(tum_cloud):
+    """Refined labels vs the reference build's ransacRefinement=1 golden
+    (data/golden/tum_ransac_labels.npz, scripts/make_goldens.sh).
+
+    With the shipped threshold (1 raw depth unit) the surviving inliers are
+    razor-thin slabs through sensor noise whose placement follows the RNG's
+    3-point samples, so cross-RNG label F1 is structurally bounded (~0.36
+    measured; large planes agree well, small planes' slabs differ). The
+    bound catches gross regressions: a no-op refinement scores ~0.22 here,
+    relabel-everything scores 0.
+    """
+    import pathlib
+
+    from tests.conftest import label_f1
+
+    pts, h, w = tum_cloud
+    root = pathlib.Path(__file__).resolve().parent.parent
+    cfg = Config.from_ini(str(root / "data" / "configs" / "TUM_fr3_long_val_ransac.ini"))
+    assert cfg.ransac_refinement and abs(cfg.ransac_inliers_ratio - 0.15) < 1e-6
+    labels = PlaneExtractor(h, w, cfg).process(pts)
+    gold = np.load(root / "data" / "golden" / "tum_ransac_labels.npz")["labels"]
+    f1, _, _ = label_f1(labels, gold)
+    assert f1 >= 0.30, f1
+    # Aggregate survivor mass within a factor of the reference's.
+    kept, kept_gold = int((labels > 0).sum()), int((gold > 0).sum())
+    assert 0.4 * kept_gold <= kept <= 1.6 * kept_gold, (kept, kept_gold)
