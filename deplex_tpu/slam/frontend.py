@@ -169,6 +169,10 @@ class PlaneSlam:
             return step(obs, map_state, R_prior, t_prior)
 
         self._frame_fn = frame_fn
+        # Batched pose-graph edge measurement: Gauss-Newton vmapped over the
+        # edge axis, one dispatch for all candidate pairs (build_pose_graph).
+        self._pair_measure_fn = jax.jit(jax.vmap(
+            functools.partial(estimate_pose, iterations=6)))
 
     def process_frame(self, points) -> FrameResult:
         pts = jnp.asarray(points, jnp.float32)
@@ -215,54 +219,73 @@ class PlaneSlam:
         from the shared plane observations (frame-to-frame Gauss-Newton,
         independent of the tracked trajectory), so graph optimization can
         correct accumulated drift.
-        """
-        import jax.numpy as jnp
 
-        from deplex_tpu.slam.odometry import estimate_pose
+        All E candidate edges are measured in ONE vmapped device dispatch
+        (batched Gauss-Newton over the edge axis); candidate selection is a
+        single K x K co-observation count matrix on host. Scales to
+        hundreds of keyframes where the former per-pair dispatch loop
+        walled (O(K^2) eager estimate_pose calls).
+        """
         from deplex_tpu.slam.planes import PlaneObs
         from deplex_tpu.slam.pose_graph import PoseGraph
 
         K = len(self._keyframes)
-        lm_sets = [set(int(x) for x in kf[3] if x >= 0) for kf in self._keyframes]
+        P = self._keyframes[0][0].shape[0]
+        n_kf = np.stack([kf[0] for kf in self._keyframes])     # (K, P, 3)
+        d_kf = np.stack([kf[1] for kf in self._keyframes])     # (K, P)
+        w_kf = np.stack([kf[2] for kf in self._keyframes])     # (K, P)
+        l_kf = np.stack([kf[3] for kf in self._keyframes])     # (K, P) int
 
-        def rel_measure(a, b):
-            """T_ab = T_cw(a) o T_cw(b)^-1 from shared planes; None if
-            under-constrained."""
-            na, da, wa, la = self._keyframes[a]
-            nb, db, wb, lb = self._keyframes[b]
-            shared = [(i, j) for i, li in enumerate(la) if li >= 0
-                      for j, lj in enumerate(lb) if lj == li]
-            if len(shared) < min_shared:
-                return None
-            P = la.shape[0]
-            obs = PlaneObs(normal=jnp.asarray(na), d=jnp.asarray(da),
-                           weight=jnp.asarray(wa), mean=jnp.zeros((P, 3)))
-            match_lm = np.full(P, -1, np.int32)
-            for i, j in shared:
-                match_lm[i] = j
-            # Treat frame b's observations as the "world" landmarks.
-            Ra, ta = self.trajectory[a]
-            Rb, tb = self.trajectory[b]
-            R0 = jnp.asarray(Ra @ Rb.T)
-            t0 = jnp.asarray(ta - Ra @ Rb.T @ tb)
-            res = estimate_pose(obs, jnp.asarray(nb), jnp.asarray(db),
-                                jnp.asarray(match_lm), jnp.asarray(match_lm >= 0),
-                                R0, t0, iterations=6)
-            return np.asarray(res.R), np.asarray(res.t)
-
-        edges = []
-        for a in range(K - 1):
-            m = rel_measure(a, a + 1)
-            if m is not None:
-                edges.append((a, a + 1, *m, 1.0))
-        for a in range(K):
-            for b in range(a + 2, K):
-                if len(lm_sets[a] & lm_sets[b]) >= min_shared:
-                    m = rel_measure(a, b)
-                    if m is not None:
-                        edges.append((a, b, *m, 1.0))
-        if not edges:
+        # Candidate pairs from the co-observation count matrix (one int
+        # matmul): consecutive edges first, then loop closures (b >= a+2).
+        M = int(self.map.d.shape[0])
+        occ = np.zeros((K, M), np.int32)
+        kk, pp = np.nonzero(l_kf >= 0)
+        occ[kk, l_kf[kk, pp]] = 1
+        shared = occ @ occ.T                                    # (K, K)
+        pairs = [(a, a + 1) for a in range(K - 1)
+                 if shared[a, a + 1] >= min_shared]
+        iu, ju = np.triu_indices(K, k=2)
+        pairs += [(int(a), int(b)) for a, b in zip(iu, ju)
+                  if shared[a, b] >= min_shared]
+        if not pairs:
             raise ValueError("no pose-graph edges (no co-observed planes)")
+
+        A = np.asarray([p[0] for p in pairs])
+        B = np.asarray([p[1] for p in pairs])
+        # match[e, i] = first j with l_b[j] == l_a[i] (>= 0), else -1 —
+        # frame b's observations act as the "world" landmarks for the pair.
+        la, lb = l_kf[A], l_kf[B]                               # (E, P)
+        eq = (la[:, :, None] == lb[:, None, :]) & (la >= 0)[:, :, None]
+        has = eq.any(-1)
+        match = np.where(has, eq.argmax(-1), -1).astype(np.int32)
+
+        Rs = np.stack([R for R, _ in self.trajectory])
+        ts = np.stack([t for _, t in self.trajectory])
+        R0 = np.einsum("eij,ekj->eik", Rs[A], Rs[B])            # Ra @ Rb^T
+        t0 = ts[A] - np.einsum("eij,ej->ei", R0, ts[B])
+
+        # Pad the edge axis so the jitted batched measure compiles for a few
+        # bucket sizes instead of every E.
+        E = len(pairs)
+        Epad = max(8, 1 << (E - 1).bit_length())
+
+        def pad(x, fill=0):
+            return np.concatenate(
+                [x, np.full((Epad - E,) + x.shape[1:], fill, x.dtype)])
+
+        obs = PlaneObs(normal=jnp.asarray(pad(n_kf[A])),
+                       d=jnp.asarray(pad(d_kf[A])),
+                       weight=jnp.asarray(pad(w_kf[A])),
+                       mean=jnp.zeros((Epad, P, 3), jnp.float32))
+        eye = np.broadcast_to(np.eye(3, dtype=R0.dtype), (Epad - E, 3, 3))
+        R0p = np.concatenate([R0, eye]).astype(np.float32)
+        res = self._pair_measure_fn(
+            obs, jnp.asarray(pad(n_kf[B])), jnp.asarray(pad(d_kf[B])),
+            jnp.asarray(pad(match, fill=-1)), jnp.asarray(pad(has)),
+            jnp.asarray(R0p), jnp.asarray(pad(t0.astype(np.float32))))
+        meas_R = np.asarray(res.R)[:E]
+        meas_t = np.asarray(res.t)[:E]
 
         # Nodes in world-from-camera convention so edge measurements compose
         # as T_ab = T_cw(a) o T_cw(b)^-1 (see slam/pose_graph.py residual).
@@ -270,11 +293,9 @@ class PlaneSlam:
         t_wc = np.stack([-R.T @ t for R, t in self.trajectory])
         return PoseGraph(
             R=jnp.asarray(R_wc), t=jnp.asarray(t_wc),
-            edge_a=jnp.asarray([e[0] for e in edges], jnp.int32),
-            edge_b=jnp.asarray([e[1] for e in edges], jnp.int32),
-            meas_R=jnp.asarray(np.stack([e[2] for e in edges])),
-            meas_t=jnp.asarray(np.stack([e[3] for e in edges])),
-            weight=jnp.asarray([e[4] for e in edges], jnp.float32))
+            edge_a=jnp.asarray(A, jnp.int32), edge_b=jnp.asarray(B, jnp.int32),
+            meas_R=jnp.asarray(meas_R), meas_t=jnp.asarray(meas_t),
+            weight=jnp.ones(E, jnp.float32))
 
     def optimize_trajectory(self, iterations: int = 15, min_shared: int = 3):
         """Pose-graph optimization over the keyframe trajectory (in place)."""

@@ -12,12 +12,12 @@ row. Simulate a mesh on CPU with:
 """
 
 import argparse
+import os
 import pathlib
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import json
-import pathlib
 import time
 
 import numpy as np
@@ -31,13 +31,19 @@ def main():
     parser.add_argument("--repeats", type=int, default=10)
     parser.add_argument("--image", default=str(ROOT / "data/tum/1341848230.910894.png"))
     parser.add_argument("--intrinsics", default=str(ROOT / "data/configs/TUM_fr3_long_val.K"))
+    parser.add_argument("--out", default=None,
+                        help="write the JSON report artifact here")
     args = parser.parse_args()
 
     import jax
+
+    # The platform env knob must win over any site-registered TPU plugin
+    # (e.g. when simulating a CPU mesh; same note as tests/conftest.py).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from deplex_tpu import Config
-    from deplex_tpu.parallel.batch import extract_depth_batch_jit
     from deplex_tpu.parallel.distributed import initialize
     from deplex_tpu.utils import DepthImage, read_intrinsics
 
@@ -55,22 +61,50 @@ def main():
     if sizes[-1] != devices.size:
         sizes.append(devices.size)
 
+    import functools
+
+    import jax.numpy as jnp
+
+    from deplex_tpu.parallel.batch import extract_depth_batch
+
+    Kd = jax.device_put(np.asarray(K, np.float32))
+
+    # Device-side serving loop (bench.py protocol): n_iters batched
+    # extractions inside one dispatch over a RING of distinct input buffers
+    # (a loop-invariant input would let XLA hoist the extraction out of the
+    # loop), per-iteration summaries folded into the carry so nothing can be
+    # elided, ONE final summary fetch. Host-side per-dispatch timing is not
+    # trustworthy here: through a remote tunnel block_until_ready doesn't
+    # synchronize, and a per-dispatch fetch measures the tunnel instead of
+    # the chips.
+    G = 4  # ring depth
+
+    @functools.partial(jax.jit, static_argnames=("n_iters",))
+    def serve(ring, intrinsics, n_iters):
+        def body(i, carry):
+            labels = extract_depth_batch(ring[i % G], intrinsics, cfg)
+            labels = jax.lax.optimization_barrier(labels)
+            return carry + jnp.max(labels, axis=1)
+
+        return jax.lax.fori_loop(0, n_iters, body,
+                                 jnp.zeros(ring.shape[1], jnp.int32))
+
     base_fps = None
     rows = []
     for nd in sizes:
         mesh = Mesh(devices[:nd], axis_names=("data",))
         B = args.frames_per_device * nd
-        batch = np.broadcast_to(img.data, (B,) + img.data.shape).copy()
-        sharding = NamedSharding(mesh, P("data", None, None))
-        x = jax.device_put(batch, sharding)
-        out = extract_depth_batch_jit(x, np.asarray(K, np.float32), config=cfg)
-        jax.block_until_ready(out)
+        ring_np = np.broadcast_to(img.data, (G, B) + img.data.shape).copy()
+        sharding = NamedSharding(mesh, P(None, "data", None, None))
+        ring = jax.device_put(ring_np, sharding)
+        counts = serve(ring, Kd, n_iters=args.repeats)       # warmup/compile
+        np.asarray(counts)
         t0 = time.perf_counter()
-        for _ in range(args.repeats):
-            jax.block_until_ready(
-                extract_depth_batch_jit(x, np.asarray(K, np.float32), config=cfg))
-        dt = (time.perf_counter() - t0) / args.repeats
-        fps = B / dt
+        counts = serve(ring, Kd, n_iters=args.repeats)
+        counts = np.asarray(counts)                          # sync fetch
+        dt = time.perf_counter() - t0
+        assert (counts > 0).all()
+        fps = B * args.repeats / dt
         if base_fps is None:
             base_fps = fps
         eff = fps / (base_fps * nd)
@@ -78,8 +112,20 @@ def main():
                      "scaling_efficiency": round(eff, 3)})
         print(json.dumps(rows[-1]))
 
+    report = {
+        "backend": jax.default_backend(),
+        "device": str(devices.flat[0]),
+        "processes": jax.process_count(),
+        "frames_per_device": args.frames_per_device,
+        "repeats": args.repeats,
+        "rows": rows,
+    }
     if jax.process_index() == 0:
         print(json.dumps({"report": rows}))
+        if args.out:
+            out = pathlib.Path(args.out)
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_text(json.dumps(report, indent=2) + "\n")
 
 
 if __name__ == "__main__":

@@ -79,3 +79,58 @@ def test_checkpoint_roundtrip_frontend(tracked_slam, tmp_path):
     restored = load_checkpoint(str(tmp_path / "slam_ck"), state)
     np.testing.assert_allclose(np.asarray(restored["map"].d),
                                np.asarray(slam.map.d), rtol=1e-6)
+
+
+def test_pose_graph_scales_to_50_keyframes():
+    """build_pose_graph is one vmapped dispatch over all candidate edges —
+    K=50 keyframes with dense co-observation (~1.2k edges) must build well
+    under a time bound (the former per-pair eager loop walled here)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from deplex_tpu import Config
+    from deplex_tpu.slam import PlaneSlam
+    from deplex_tpu.slam.lie import so3_exp
+
+    K, P, M = 50, 8, 16
+    rng = np.random.default_rng(3)
+    # Ground-truth landmark planes seen by every frame.
+    n_w = rng.normal(size=(M, 3)).astype(np.float32)
+    n_w /= np.linalg.norm(n_w, axis=1, keepdims=True)
+    d_w = rng.uniform(500, 3000, size=M).astype(np.float32)
+
+    slam = PlaneSlam(64, 64, Config(), max_landmarks=M)
+    slam.trajectory = []
+    slam._keyframes = []
+    from deplex_tpu.slam.planes import transform_plane
+
+    lm_ids = np.arange(P, dtype=np.int32)
+    for k in range(K):
+        Rk = np.asarray(so3_exp(jnp.asarray(
+            (rng.normal(size=3) * 0.05).astype(np.float32))))
+        tk = (rng.normal(size=3) * 20).astype(np.float32)
+        n_c, d_c = transform_plane(jnp.asarray(Rk), jnp.asarray(tk),
+                                   jnp.asarray(n_w[:P]), jnp.asarray(d_w[:P]))
+        slam.trajectory.append((Rk, tk))
+        slam._keyframes.append((np.asarray(n_c), np.asarray(d_c),
+                                np.full(P, 100.0, np.float32), lm_ids.copy()))
+    slam.map = slam.map._replace(
+        normal=jnp.asarray(np.pad(n_w, ((0, 0), (0, 0)))),
+        d=jnp.asarray(d_w),
+        weight=jnp.full(M, 100.0), count=jnp.int32(M))
+
+    t0 = time.perf_counter()
+    g = slam.build_pose_graph(min_shared=3)
+    dt = time.perf_counter() - t0
+    n_edges = int(g.edge_a.shape[0])
+    assert n_edges == (K - 1) + (K - 1) * K // 2 - (K - 1)  # all pairs
+    # One compile + one vmapped dispatch; generous CI bound.
+    assert dt < 120.0, dt
+    # Edge measurements recover the true relative poses (exact observations).
+    A = np.asarray(g.edge_a)
+    B = np.asarray(g.edge_b)
+    Rs = np.stack([R for R, _ in slam.trajectory])
+    R_ab = np.einsum("eij,ekj->eik", Rs[A], Rs[B])
+    err = np.abs(np.asarray(g.meas_R) - R_ab).max()
+    assert err < 1e-3, err
