@@ -36,9 +36,17 @@ def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not _SO.exists() or _SO.stat().st_mtime < max(_SRC.stat().st_mtime,
-                                                    _SRC_LOADER.stat().st_mtime):
+    if not _SO.exists():
         _build()
+    elif _SO.stat().st_mtime < max(_SRC.stat().st_mtime,
+                                   _SRC_LOADER.stat().st_mtime):
+        # Sources newer than the binary: rebuild when a toolchain is
+        # available, otherwise keep the prebuilt .so shipped in the wheel
+        # (tools/build_wheel.sh) — installs must not require g++.
+        try:
+            _build()
+        except (OSError, subprocess.CalledProcessError):
+            pass
     lib = ctypes.CDLL(str(_SO))
     lib.deplex_png16_info.restype = ctypes.c_int
     lib.deplex_png16_info.argtypes = [
