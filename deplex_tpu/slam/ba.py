@@ -60,11 +60,20 @@ class BAState(NamedTuple):
     cost: jax.Array
 
 
-def _residual_and_jac(Ri, ti, eta_j, n_obs, d_obs):
-    """r_ij (3,) plus Jacobians wrt pose twist (3,6) and landmark (3,3).
+NORMAL_WEIGHT = 1000.0  # unitless normal residual vs raw-depth-unit offset
+OFFSET_WEIGHT = 1.0     # (same balance as slam.odometry.estimate_pose)
 
-    Uses jax.jacfwd on the closed-form residual — 3x3/3x6 Jacobians are tiny;
-    XLA fuses the forward-mode duals into the same kernels.
+
+def _residual_and_jac(Ri, ti, eta_j, n_obs, d_obs):
+    """r_ij (4,) plus Jacobians wrt pose twist (4,6) and landmark (4,3).
+
+    Residual = [w_n * (n_pred - n_obs), w_d * (d_pred - d_obs)] — the same
+    decoupled normal/offset weighting the odometry uses. (A closest-point
+    (cp = -d*n) residual scales angular error by the plane distance d; with
+    raw TUM depth units d reaches ~40k, so far planes would dominate the
+    cost and BA would move poses meters to fix centimeter-scale angular
+    noise.) Uses jax.jacfwd on the closed-form residual — the Jacobians are
+    tiny; XLA fuses the forward-mode duals into the same kernels.
     """
 
     def res(xi, eta):
@@ -74,12 +83,15 @@ def _residual_and_jac(Ri, ti, eta_j, n_obs, d_obs):
         n_w, d_w = from_cp(eta)
         n_c = R @ n_w
         d_c = d_w - jnp.dot(n_c, t)
-        return (-d_c) * n_c - (-d_obs) * n_obs  # cp difference
+        return jnp.concatenate([
+            NORMAL_WEIGHT * (n_c - n_obs),
+            (OFFSET_WEIGHT * (d_c - d_obs))[None],
+        ])
 
     xi0 = jnp.zeros(6, dtype=Ri.dtype)
     r = res(xi0, eta_j)
-    Jp = jax.jacfwd(res, argnums=0)(xi0, eta_j)   # (3, 6)
-    Jl = jax.jacfwd(res, argnums=1)(xi0, eta_j)   # (3, 3)
+    Jp = jax.jacfwd(res, argnums=0)(xi0, eta_j)   # (4, 6)
+    Jl = jax.jacfwd(res, argnums=1)(xi0, eta_j)   # (4, 3)
     return r, Jp, Jl
 
 
@@ -183,13 +195,43 @@ def ba_step(problem: BAProblem, *, damping: float = 1e-4,
     return BAState(R=R_new, t=t_new, eta=eta_new, cost=cost)
 
 
+def ba_cost(problem: BAProblem) -> jax.Array:
+    """Total weighted squared residual of the problem at its current state."""
+    M = problem.eta.shape[0]
+
+    def per_frame(Ri, ti, n_obs, d_obs, lm, w):
+        eta_sel = problem.eta[jnp.clip(lm, 0, M - 1)]
+        r, _, _ = jax.vmap(_residual_and_jac, in_axes=(None, None, 0, 0, 0))(
+            Ri, ti, eta_sel, n_obs, d_obs)
+        return jnp.sum(w * jnp.sum(r * r, -1))
+
+    return jnp.sum(jax.vmap(per_frame)(
+        problem.R, problem.t, problem.obs_normal, problem.obs_d,
+        problem.obs_lm, problem.obs_w))
+
+
 def run_ba(problem: BAProblem, *, iterations: int = 10, damping: float = 1e-4):
-    """Fixed-iteration Gauss-Newton BA (single device / single shard)."""
+    """Levenberg-Marquardt BA: Gauss-Newton steps with accept/reject damping.
 
-    def body(_, prob):
-        state = ba_step(prob, damping=damping)
-        return prob._replace(R=state.R, t=state.t, eta=state.eta)
+    Each iteration computes the Schur-eliminated GN step at the current
+    damping; the step is ACCEPTED only if it lowers the total cost
+    (damping /= 3), otherwise rejected (damping *= 10). A plain
+    fixed-damping GN loop diverges on poorly conditioned real problems
+    (weak fragment landmarks, near-degenerate observation geometry); the
+    reject path makes the iteration monotone in cost, which is what an
+    always-on SLAM backend needs. Runs as one jitted fori_loop."""
 
-    final = jax.lax.fori_loop(0, iterations, body, problem)
-    state = ba_step(final, damping=damping)  # for the cost
-    return BAState(R=final.R, t=final.t, eta=final.eta, cost=state.cost)
+    def body(_, carry):
+        prob, lam, cost = carry
+        cand = ba_step(prob, damping=lam)
+        cand_prob = prob._replace(R=cand.R, t=cand.t, eta=cand.eta)
+        new_cost = ba_cost(cand_prob)
+        accept = new_cost < cost
+        prob = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), cand_prob, prob)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-8), lam * 10.0)
+        return prob, lam, jnp.where(accept, new_cost, cost)
+
+    init = (problem, jnp.float32(damping), ba_cost(problem))
+    final, _, cost = jax.lax.fori_loop(0, iterations, body, init)
+    return BAState(R=final.R, t=final.t, eta=final.eta, cost=cost)

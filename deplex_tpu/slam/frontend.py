@@ -202,7 +202,18 @@ class PlaneSlam:
         obs_d = np.stack([k[1] for k in self._keyframes])
         w = np.stack([k[2] for k in self._keyframes])
         lm = np.stack([k[3] for k in self._keyframes])
-        obs_w = np.where((lm >= 0) & (w > 0), 1.0, 0.0).astype(np.float32)
+        # Support-weighted observations (sqrt, as odometry): a wall observed
+        # by thousands of pixels constrains the pose more than a fragment.
+        obs_w = np.where((lm >= 0) & (w > 0),
+                         np.sqrt(np.maximum(w, 0.0)), 0.0).astype(np.float32)
+        # Landmarks seen in < 2 keyframes constrain nothing (their residual
+        # is absorbed by the landmark update) but leave ill-conditioned
+        # Schur blocks; drop their observations.
+        M = int(self.map.d.shape[0])
+        seen = np.bincount(lm[(lm >= 0) & (obs_w > 0)].ravel(), minlength=M)
+        obs_w = np.where(seen[np.maximum(lm, 0)] >= 2, obs_w, 0.0)
+        if (obs_w > 0).any():
+            obs_w = obs_w / obs_w[obs_w > 0].mean()
         R = np.stack([p[0] for p in self.trajectory])
         t = np.stack([p[1] for p in self.trajectory])
         eta = np.asarray(to_cp(self.map.normal, self.map.d))
@@ -287,6 +298,18 @@ class PlaneSlam:
         meas_R = np.asarray(res.R)[:E]
         meas_t = np.asarray(res.t)[:E]
 
+        # Edge-quality gate: a loop closure whose per-plane GN residual is
+        # far above the consecutive-edge norm is a misassociation or
+        # degenerate geometry — it would actively corrupt the graph. All
+        # consecutive edges are kept (connectivity).
+        per = (np.asarray(res.residual)[:E]
+               / np.maximum(np.asarray(res.num_inliers)[:E], 1))
+        consec = (B - A) == 1
+        anchor = np.median(per[consec]) if consec.any() else np.median(per)
+        keep = consec | (per <= 5.0 * max(float(anchor), 1e-9))
+        A, B = A[keep], B[keep]
+        meas_R, meas_t = meas_R[keep], meas_t[keep]
+
         # Nodes in world-from-camera convention so edge measurements compose
         # as T_ab = T_cw(a) o T_cw(b)^-1 (see slam/pose_graph.py residual).
         R_wc = np.stack([R.T for R, _ in self.trajectory])
@@ -295,7 +318,7 @@ class PlaneSlam:
             R=jnp.asarray(R_wc), t=jnp.asarray(t_wc),
             edge_a=jnp.asarray(A, jnp.int32), edge_b=jnp.asarray(B, jnp.int32),
             meas_R=jnp.asarray(meas_R), meas_t=jnp.asarray(meas_t),
-            weight=jnp.ones(E, jnp.float32))
+            weight=jnp.ones(int(keep.sum()), jnp.float32))
 
     def optimize_trajectory(self, iterations: int = 15, min_shared: int = 3):
         """Pose-graph optimization over the keyframe trajectory (in place)."""
@@ -310,6 +333,62 @@ class PlaneSlam:
         self.R = jnp.asarray(self.trajectory[-1][0])
         self.t = jnp.asarray(self.trajectory[-1][1])
         return out
+
+    def save(self, path: str) -> None:
+        """Snapshot the FULL tracker state (map, current pose, trajectory,
+        keyframe observations) mid-sequence; resume with PlaneSlam.load().
+        Uses slam.checkpoint (orbax when available, npz fallback)."""
+        from deplex_tpu.slam.checkpoint import save_checkpoint
+
+        if not self._keyframes:
+            raise ValueError("nothing to checkpoint: no frames processed")
+        save_checkpoint(path, self._snapshot_state())
+
+    def load(self, path: str) -> None:
+        """Restore a snapshot written by save(); the tracker continues the
+        sequence exactly where it left off (same map, pose, keyframes)."""
+        from deplex_tpu.slam.checkpoint import load_checkpoint
+
+        example = self._snapshot_state() if self._keyframes else \
+            self._snapshot_example()
+        state = load_checkpoint(path, example)
+        self.map = MapState(*(jnp.asarray(x) for x in state["map"]))
+        self.R = jnp.asarray(state["R"])
+        self.t = jnp.asarray(state["t"])
+        K = state["traj_R"].shape[0]
+        self.trajectory = [(np.asarray(state["traj_R"][i]),
+                            np.asarray(state["traj_t"][i])) for i in range(K)]
+        self._keyframes = [(np.asarray(state["kf_normal"][i]),
+                            np.asarray(state["kf_d"][i]),
+                            np.asarray(state["kf_weight"][i]),
+                            np.asarray(state["kf_lm"][i])) for i in range(K)]
+
+    def _snapshot_state(self) -> dict:
+        return {
+            "map": MapState(*(np.asarray(x) for x in self.map)),
+            "R": np.asarray(self.R), "t": np.asarray(self.t),
+            "traj_R": np.stack([R for R, _ in self.trajectory]),
+            "traj_t": np.stack([t for _, t in self.trajectory]),
+            "kf_normal": np.stack([k[0] for k in self._keyframes]),
+            "kf_d": np.stack([k[1] for k in self._keyframes]),
+            "kf_weight": np.stack([k[2] for k in self._keyframes]),
+            "kf_lm": np.stack([k[3] for k in self._keyframes]),
+        }
+
+    def _snapshot_example(self) -> dict:
+        """Zero-frame example tree (same structure) for load-before-track."""
+        M = int(self.map.d.shape[0])
+        P = int(self.config.max_planes)
+        return {
+            "map": MapState(*(np.asarray(x) for x in self.map)),
+            "R": np.zeros((3, 3), np.float32), "t": np.zeros(3, np.float32),
+            "traj_R": np.zeros((0, 3, 3), np.float32),
+            "traj_t": np.zeros((0, 3), np.float32),
+            "kf_normal": np.zeros((0, P, 3), np.float32),
+            "kf_d": np.zeros((0, P), np.float32),
+            "kf_weight": np.zeros((0, P), np.float32),
+            "kf_lm": np.zeros((0, P), np.int32),
+        }
 
     def refine(self, iterations: int = 10, damping: float = 1e-4):
         """Run windowed BA over all keyframes; updates trajectory + map."""

@@ -66,12 +66,110 @@ def synthetic_sequence(n_frames, H, W, K, rng):
     return frames, poses
 
 
+def run_dataset(args):
+    """Full stack on a directory of depth PNGs: native threaded loader ->
+    tracking -> pose-graph optimization -> plane-landmark BA, with ATE vs
+    the ground-truth trajectory (trajectory_gt.npz, camera-from-world) when
+    present. Generate a ground-truthed sequence from the shipped TUM frame
+    with scripts/make_sequence.py."""
+    import json
+
+    import jax.numpy as jnp
+
+    from deplex_tpu import Config
+    from deplex_tpu.native import SequenceLoader
+    from deplex_tpu.pipeline import backproject_device
+    from deplex_tpu.slam import PlaneSlam
+    from deplex_tpu.utils import DepthImage, read_intrinsics
+
+    root = pathlib.Path(args.dataset)
+    paths = sorted(root.glob("*.png"))
+    if args.frames > 0:
+        paths = paths[:args.frames]
+    if not paths:
+        raise SystemExit(f"no *.png frames in {root}")
+    probe = DepthImage(str(paths[0]))
+    H, W = probe.height, probe.width
+    K = np.asarray(read_intrinsics(args.intrinsics), np.float32)
+    cfg = Config.from_ini(args.config) if args.config else Config()
+
+    slam = PlaneSlam(H, W, cfg, max_landmarks=args.max_landmarks,
+                     odom_iterations=10)
+    loader = SequenceLoader([str(p) for p in paths], W, H)
+    n = 0
+    for depth in loader:
+        pts = backproject_device(jnp.asarray(depth), jnp.asarray(K))
+        res = slam.process_frame(pts)
+        if n % 10 == 0:
+            print(f"frame {n:4d}: matched={int(res.num_matched):2d} "
+                  f"new={int(res.num_new):2d}")
+        n += 1
+
+    gt_file = root / "trajectory_gt.npz"
+
+    def ate(traj):
+        if not gt_file.exists():
+            return None
+        g = np.load(gt_file)
+        errs = [np.linalg.norm(-R.T @ t - (-g["R"][i].T @ g["t"][i]))
+                for i, (R, t) in enumerate(traj)]
+        return round(float(np.sqrt(np.mean(np.square(errs)))), 3)
+
+    # Each backend stage is evaluated INDEPENDENTLY from the tracked state
+    # (chaining them double-counts corrections: the pose graph re-expresses
+    # the map-anchored trajectory as relative edges, and BA re-anchors to
+    # the landmark map — applying BA after the graph starts it from poses
+    # inconsistent with the map it optimizes against).
+    traj_len = None
+    if gt_file.exists():
+        g = np.load(gt_file)
+        centers = np.einsum("kij,kj->ki", g["R"].transpose(0, 2, 1), -g["t"])
+        traj_len = round(float(np.linalg.norm(np.diff(centers, axis=0),
+                                              axis=1).sum()), 1)
+    report = {"dataset": str(root), "frames": n,
+              "protocol": "run_slam.py --dataset: native SequenceLoader -> "
+                          "PlaneSlam tracking; BA and pose-graph each applied "
+                          "to the tracked trajectory independently; sequence "
+                          "from scripts/make_sequence.py (warped real TUM "
+                          "frame, exact ground truth)",
+              "trajectory_length_mm": traj_len,
+              "landmarks": int(np.asarray(slam.map.count)),
+              "ate_rmse_mm": {"tracking": ate(slam.trajectory)}}
+    tracked = list(slam.trajectory)
+    slam.refine(iterations=10)
+    report["ate_rmse_mm"]["ba"] = ate(slam.trajectory)
+    slam.trajectory = tracked
+    try:
+        slam.optimize_trajectory(min_shared=args.min_shared)
+        report["ate_rmse_mm"]["pose_graph"] = ate(slam.trajectory)
+    except ValueError as e:
+        report["pose_graph_skipped"] = str(e)
+    print(json.dumps(report))
+    if args.report:
+        out = pathlib.Path(args.report)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(report, indent=2) + "\n")
+    return report
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=20)
     parser.add_argument("--size", default="120x160",
                         help="HxW for the synthetic sequence")
+    parser.add_argument("--dataset", default=None,
+                        help="directory of depth PNGs (e.g. from "
+                             "scripts/make_sequence.py); default: synthetic")
+    parser.add_argument("--intrinsics",
+                        default=str(ROOT / "data/configs/TUM_fr3_long_val.K"))
+    parser.add_argument("--config", default=None, help="algorithm .ini")
+    parser.add_argument("--max-landmarks", type=int, default=64)
+    parser.add_argument("--min-shared", type=int, default=3)
+    parser.add_argument("--report", default=None, help="write ATE report JSON")
     args = parser.parse_args()
+    if args.dataset:
+        run_dataset(args)
+        return
 
     from deplex_tpu import Config
     from deplex_tpu.pipeline import backproject_device

@@ -12,33 +12,7 @@ import pytest
 from deplex_tpu import Config
 from deplex_tpu.slam import PlaneSlam
 from deplex_tpu.slam.lie import so3_exp
-
-
-def warp_depth(depth, K, R, t):
-    """Render depth seen from camera pose (R, t) (camera-from-world, world =
-    original camera frame) by point splatting with z-buffering."""
-    H, W = depth.shape
-    fx, cx = K[0, 0], K[0, 2]
-    fy, cy = K[1, 1], K[1, 2]
-    v, u = np.mgrid[0:H, 0:W].astype(np.float32)
-    z = depth.astype(np.float32)
-    valid = z > 0
-    x = (u - cx) * z / fx
-    y = (v - cy) * z / fy
-    pts = np.stack([x[valid], y[valid], z[valid]], 1)
-    pc = pts @ R.T + t
-    zc = pc[:, 2]
-    front = zc > 100
-    pc = pc[front]
-    zc = zc[front]
-    uu = np.round(pc[:, 0] / zc * fx + cx).astype(np.int64)
-    vv = np.round(pc[:, 1] / zc * fy + cy).astype(np.int64)
-    inb = (uu >= 0) & (uu < W) & (vv >= 0) & (vv < H)
-    flat = vv[inb] * W + uu[inb]
-    out = np.full(H * W, np.inf, np.float32)
-    np.minimum.at(out, flat, zc[inb])
-    out[~np.isfinite(out)] = 0.0
-    return out.reshape(H, W)
+from deplex_tpu.utils.warp import warp_depth
 
 
 @pytest.mark.slow
