@@ -24,26 +24,29 @@ from deplex_tpu.config import Config
 from deplex_tpu.ops.growing import PlaneSegments, _fit_plane
 
 
+def pair_adjacency(x: jax.Array, y: jax.Array, max_planes: int) -> jax.Array:
+    """(MAXP, MAXP) bool: A[i, j] = any position with (x == i+1, y == j+1).
+
+    Dense one-hot contraction instead of a scatter (TPU scatters with
+    duplicate indices serialize); label 0 and x == y pairs are excluded.
+    """
+    ids = jnp.arange(1, max_planes + 1, dtype=x.dtype)
+    m = (x > 0) & (y > 0) & (x != y)
+    xf = jnp.where(m, x, 0).reshape(-1)
+    yf = jnp.where(m, y, 0).reshape(-1)
+    ox = (xf[:, None] == ids).astype(jnp.float32)
+    oy = (yf[:, None] == ids).astype(jnp.float32)
+    return (ox.T @ oy) > 0
+
+
 def plane_adjacency(labels_map: jax.Array, max_planes: int) -> jax.Array:
     """(MAXP, MAXP) bool symmetric adjacency from the (gh, gw) cell labels."""
     lm = labels_map
     a = lm[:-1, :-1]
     right = lm[:-1, 1:]
     down = lm[1:, :-1]
-
-    ids = jnp.arange(1, max_planes + 1, dtype=lm.dtype)
-
-    def pairs(x, y):
-        # Dense one-hot contraction instead of a scatter (TPU scatters with
-        # duplicate indices serialize): A[i,j] = any cell with (x=i+1, y=j+1).
-        m = (x > 0) & (y > 0) & (x != y)
-        xf = jnp.where(m, x, 0).reshape(-1)
-        yf = jnp.where(m, y, 0).reshape(-1)
-        ox = (xf[:, None] == ids).astype(jnp.float32)
-        oy = (yf[:, None] == ids).astype(jnp.float32)
-        return (ox.T @ oy) > 0
-
-    A = pairs(a, right) | pairs(a, down)
+    A = (pair_adjacency(a, right, max_planes)
+         | pair_adjacency(a, down, max_planes))
     return A | A.T
 
 
@@ -52,8 +55,19 @@ def merge_planes(labels_map: jax.Array, segments: PlaneSegments, config: Config)
 
     merge_labels[i] = representative slot of plane i (identity if unmerged).
     """
+    assoc = plane_adjacency(labels_map, config.max_planes)
+    return merge_planes_from_adjacency(assoc, segments, config)
+
+
+def merge_planes_from_adjacency(assoc: jax.Array, segments: PlaneSegments,
+                                config: Config):
+    """Greedy merge given a precomputed (MAXP, MAXP) adjacency.
+
+    Split out of merge_planes so the spatially-sharded pipeline
+    (parallel/spatial.py) can psum per-shard adjacency contributions across
+    the mesh and then run this replicated tail identically on every shard.
+    """
     MAXP = config.max_planes
-    assoc = plane_adjacency(labels_map, MAXP)
     col_ids = jnp.arange(MAXP)
     min_cos = jnp.float32(config.min_cos_angle_merge)
     max_dist = jnp.float32(config.max_merge_dist)
