@@ -49,7 +49,10 @@ def ring_loop(stage_fn, ring, n_iters):
 
 
 def time_stage(name, stage_fn, ring, repeats, batch):
-    ring_loop(stage_fn, ring, 2).block_until_ready()  # compile + warm
+    # Warm with the SAME static n as the timed run — n is a static argnum,
+    # so a different n is a different XLA program and warming with n=2 would
+    # leave the n=repeats compile inside the timed region.
+    ring_loop(stage_fn, ring, repeats).block_until_ready()
     t0 = time.perf_counter()
     ring_loop(stage_fn, ring, repeats).block_until_ready()
     dt = time.perf_counter() - t0
@@ -133,7 +136,7 @@ def main():
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    run_merge(labels_map_ring, segments_ring, 2).block_until_ready()
+    run_merge(labels_map_ring, segments_ring, args.repeats).block_until_ready()
     t0 = time.perf_counter()
     run_merge(labels_map_ring, segments_ring, args.repeats).block_until_ready()
     dt = time.perf_counter() - t0
