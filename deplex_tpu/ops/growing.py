@@ -272,10 +272,13 @@ def finalize_rounds(rounds: RoundData, config: Config):
     accept = accept & (slot < MAXP)
     nr_planes = jnp.sum(accept).astype(jnp.int32)
 
-    # Per-cell labels: round -> slot+1 (0 for rejected/unconsumed).
+    # Per-cell labels: round -> slot+1 (0 for rejected/unconsumed). One-hot
+    # contraction, not lut[round_map]: a grid-sized gather costs ~50us on
+    # TPU while the (gh*gw, R_MAX+1) one-hot matvec runs at vector speed.
     label_of_round = jnp.where(accept, slot + 1, 0).astype(jnp.int32)
-    lut = jnp.concatenate([jnp.zeros(1, jnp.int32), label_of_round])
-    labels_map = lut[rounds.round_map + 1]
+    lut = jnp.concatenate([jnp.zeros(1, jnp.int32), label_of_round]).astype(jnp.float32)
+    oh = (rounds.round_map[..., None] + 1 == jnp.arange(R_MAX + 1, dtype=jnp.int32))
+    labels_map = jnp.einsum("ghk,k->gh", oh.astype(jnp.float32), lut).astype(jnp.int32)
 
     # Segment table via one-hot round->slot contraction (dup-free scatter).
     onehot = (accept[:, None] & (slot[:, None] == jnp.arange(MAXP)[None, :])

@@ -49,6 +49,8 @@ def extract_depth_batch(depth_batch, intrinsics, config: Config):
                                                  pallas_cellstats_auto)
     from deplex_tpu.ops.pallas_growing import (grow_rounds_pallas_batched,
                                                pallas_batched_supported)
+    from deplex_tpu.ops.pallas_merge import (merge_planes_pallas_batched,
+                                             pallas_merge_supported)
     from deplex_tpu.pipeline import backproject_device
 
     B, H, W = depth_batch.shape
@@ -71,8 +73,11 @@ def extract_depth_batch(depth_batch, intrinsics, config: Config):
     else:
         lm_seg = jax.vmap(lambda s: grow_planes(s, config))(stats)
     labels_map, segments = lm_seg
-    merge_labels, _ = jax.vmap(lambda lm, sg: merge_planes(lm, sg, config))(
-        labels_map, segments)
+    if (use_pallas or use_pallas is None) and pallas_merge_supported(config):
+        merge_labels, _ = merge_planes_pallas_batched(labels_map, segments, config)
+    else:
+        merge_labels, _ = jax.vmap(lambda lm, sg: merge_planes(lm, sg, config))(
+            labels_map, segments)
     labels = jax.vmap(
         lambda lm, ml: rasterize_labels(lm, ml, H, W, P))(labels_map, merge_labels)
     if config.ransac_refinement:

@@ -91,7 +91,17 @@ def extract_planes_from_depth(depth: jax.Array, intrinsics: jax.Array, *,
             lambda a: a[0],
             cell_stats_from_depth_pallas(depth[None], intrinsics, config))
         labels_map, segments = grow_planes(stats, config)
-        merge_labels, _ = merge_planes(labels_map, segments, config)
+        from deplex_tpu.ops.pallas_merge import (merge_planes_pallas_batched,
+                                                 pallas_merge_supported)
+        if (config.use_pallas_growing is not False
+                and pallas_merge_supported(config)):
+            merge_labels, _ = jax.tree.map(
+                lambda a: a[0],
+                merge_planes_pallas_batched(
+                    labels_map[None], jax.tree.map(lambda a: a[None], segments),
+                    config))
+        else:
+            merge_labels, _ = merge_planes(labels_map, segments, config)
         return rasterize_labels(labels_map, merge_labels, H, W, P)
     points = backproject_device(depth, intrinsics)
     return extract_planes(points, image_height=H, image_width=W, config=config)
