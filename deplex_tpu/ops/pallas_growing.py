@@ -11,12 +11,22 @@ fits/gates/labels post-pass (growing.finalize_rounds) is shared.
 
 Algorithmic notes:
   * The mutable normals histogram is kept as a (8,128) f32 register tile
-    (bins <= 1024). Consuming a region must decrement per-bin counts —
-    a scatter — which the VPU has no fast path for; instead the kernel
-    exploits orientation coherence: a grown region spans only a few
-    distinct bins (its cells' normals agree to ~25 degrees), so an inner
-    while loop extracts one distinct bin value at a time (masked argmin),
-    counts its region cells with one comparison+reduction, and subtracts.
+    (bins <= 1024), maintained LAZILY: consuming a region never updates
+    it (a per-bin decrement is a scatter, and regions can span ~70
+    distinct bins — low-polar normals quantize into wildly varying
+    azimuth bins — so an eager distinct-bin extraction loop measured as
+    the kernel's largest cost). Instead counts are only corrected at
+    selection time: argmax the stale tile, recount the winning bin
+    against the live `bins` canvas (one comparison + reduction), write
+    the true count back, and repeat until the argmax verifies. Since
+    consumption only ever lowers true counts, stale >= true is an
+    invariant, so a verified peak dominates every other bin's true count
+    and the selected bin (with first-max tie-break on the corrected
+    tile) is exactly the one an eagerly-maintained histogram would give.
+    Each failing probe strictly lowers one stale count, so the loop
+    terminates; in practice it verifies in ~1 probe per round because a
+    stale bin is only ever probed once its stale count tops the running
+    maximum.
   * Flood fill is 4-neighbor mask propagation with zero-padded shifts
     (slice+concat, which Mosaic lowers to lane/sublane shifts), 8 hops per
     fixpoint check, exactly like the XLA path.
