@@ -99,6 +99,15 @@ def main():
     baseline = json.loads(baseline_file.read_text()) if baseline_file.exists() else {}
     golden_planes = int(baseline.get("found_planes", 34))
     plane_tol = 2
+    # Labeled-pixel golden: the reference labels 126000 of 307200 pixels on
+    # this frame (data/golden/tum_default_labels.npz). A regression that
+    # preserves the max label while corrupting labels trips this bound.
+    golden_labels = ROOT / "data" / "golden" / "tum_default_labels.npz"
+    if golden_labels.exists():
+        golden_labeled = int((np.load(golden_labels)["labels"] > 0).sum())
+    else:
+        golden_labeled = 126000
+    labeled_lo, labeled_hi = int(0.9 * golden_labeled), int(1.1 * golden_labeled)
 
     # Warmup / compile.
     counts0, _ = serve(ring, Kd, n_iters=n_iters)
@@ -113,8 +122,13 @@ def main():
     dt = time.perf_counter() - t0
     fps = n_iters * B / dt
 
-    # Validate: every frame found the expected planes (fetches summaries).
+    # Validate: every frame found the expected planes AND labeled the
+    # expected pixel mass (fetches both summaries).
     assert set(np.asarray(counts).reshape(-1).tolist()) == {expected_planes}
+    labeled_np = np.asarray(labeled).reshape(-1)
+    assert labeled_np.min() >= labeled_lo and labeled_np.max() <= labeled_hi, (
+        f"labeled pixels [{labeled_np.min()}, {labeled_np.max()}] outside "
+        f"golden range [{labeled_lo}, {labeled_hi}]")
 
     # --- single-frame latency (B=1, the reference's primary protocol:
     # examples/process_cloud.cpp:26-37 — one process() per measurement).

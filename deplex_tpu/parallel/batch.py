@@ -22,50 +22,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deplex_tpu.config import Config
-from deplex_tpu.pipeline import extract_planes
 
 
-@functools.partial(jax.jit, static_argnames=("image_height", "image_width", "config"))
-def extract_planes_batch_jit(points, *, image_height: int, image_width: int, config: Config):
-    """points: (B, H*W, 3) -> (B, H*W) int32 labels."""
-    fn = functools.partial(extract_planes, image_height=image_height,
-                           image_width=image_width, config=config)
-    return jax.vmap(fn)(points)
+def _labels_from_stats_batch(stats, H: int, W: int, config: Config):
+    """Batched stages 3-5: CellStats with leading B axis -> (B, H*W) labels.
 
-
-def extract_depth_batch(depth_batch, intrinsics, config: Config):
-    """(B, H, W) uint16 depth + (3,3) K -> (B, H*W) int32 labels.
-
-    The serving fast path: 6x smaller upload than point clouds (back-
-    projection fused on device, pipeline.backproject_device) and the growing
-    stage in the STACKED-BATCH Pallas kernel when it fits VMEM — all
-    frames' rounds advance together so every vector op amortizes across
-    the batch (ops/pallas_growing.py:_kernel_batched).
+    Shared tail of the depth and points batch paths: the STACKED-BATCH
+    Pallas growing kernel when it fits VMEM (all frames' rounds advance
+    together, ops/pallas_growing.py:_kernel_batched) and the batched Pallas
+    merge kernel, with exact XLA fallbacks.
     """
-    from deplex_tpu.ops.cellstats import compute_cell_stats
-    from deplex_tpu.ops.growing import finalize_rounds, grow_planes, grow_rounds
+    from deplex_tpu.ops.growing import finalize_rounds, grow_planes
     from deplex_tpu.ops.merge import merge_planes, rasterize_labels
-    from deplex_tpu.ops.pallas_cellstats import (cell_stats_from_depth_pallas,
-                                                 pallas_cellstats_auto)
     from deplex_tpu.ops.pallas_growing import (grow_rounds_pallas_batched,
                                                pallas_batched_supported)
     from deplex_tpu.ops.pallas_merge import (merge_planes_pallas_batched,
                                              pallas_merge_supported)
-    from deplex_tpu.pipeline import backproject_device
 
-    B, H, W = depth_batch.shape
+    B, gh, gw = stats.planar.shape
     P = min(config.patch_size, min(H, W))
-    if pallas_cellstats_auto(H, W, config):
-        # Fused depth->moments kernel: the point cloud never exists in HBM.
-        stats = cell_stats_from_depth_pallas(depth_batch, intrinsics, config)
-        pts = None
-    else:
-        pts = jax.vmap(lambda d: backproject_device(d, intrinsics))(depth_batch)
-        stats = jax.vmap(
-            lambda p: compute_cell_stats(p, H, W, config))(pts)
-
     use_pallas = config.use_pallas_growing
-    gh, gw = stats.planar.shape[1:]
     if (use_pallas or use_pallas is None) and \
             pallas_batched_supported(B, (gh, gw), config):
         rounds = grow_rounds_pallas_batched(stats, config)
@@ -78,8 +54,54 @@ def extract_depth_batch(depth_batch, intrinsics, config: Config):
     else:
         merge_labels, _ = jax.vmap(lambda lm, sg: merge_planes(lm, sg, config))(
             labels_map, segments)
-    labels = jax.vmap(
+    return jax.vmap(
         lambda lm, ml: rasterize_labels(lm, ml, H, W, P))(labels_map, merge_labels)
+
+
+@functools.partial(jax.jit, static_argnames=("image_height", "image_width", "config"))
+def extract_planes_batch_jit(points, *, image_height: int, image_width: int, config: Config):
+    """points: (B, H*W, 3) -> (B, H*W) int32 labels.
+
+    Stages 3-5 run on the fully-batched kernel path (_labels_from_stats_batch)
+    rather than vmapping the single-frame pipeline, so the stacked-batch
+    growing and merge kernels amortize across the batch.
+    """
+    from deplex_tpu.ops.cellstats import compute_cell_stats
+
+    H, W = image_height, image_width
+    stats = jax.vmap(lambda p: compute_cell_stats(p, H, W, config))(points)
+    labels = _labels_from_stats_batch(stats, H, W, config)
+    if config.ransac_refinement:
+        from deplex_tpu.ops.ransac import refine_labels
+        labels = jax.vmap(lambda p, l: refine_labels(p, l, config))(points, labels)
+    return labels
+
+
+def extract_depth_batch(depth_batch, intrinsics, config: Config):
+    """(B, H, W) uint16 depth + (3,3) K -> (B, H*W) int32 labels.
+
+    The serving fast path: 6x smaller upload than point clouds (back-
+    projection fused on device, pipeline.backproject_device) and the growing
+    stage in the STACKED-BATCH Pallas kernel when it fits VMEM — all
+    frames' rounds advance together so every vector op amortizes across
+    the batch (ops/pallas_growing.py:_kernel_batched).
+    """
+    from deplex_tpu.ops.cellstats import compute_cell_stats
+    from deplex_tpu.ops.pallas_cellstats import (cell_stats_from_depth_pallas,
+                                                 pallas_cellstats_auto)
+    from deplex_tpu.pipeline import backproject_device
+
+    B, H, W = depth_batch.shape
+    if pallas_cellstats_auto(H, W, config):
+        # Fused depth->moments kernel: the point cloud never exists in HBM.
+        stats = cell_stats_from_depth_pallas(depth_batch, intrinsics, config)
+        pts = None
+    else:
+        pts = jax.vmap(lambda d: backproject_device(d, intrinsics))(depth_batch)
+        stats = jax.vmap(
+            lambda p: compute_cell_stats(p, H, W, config))(pts)
+
+    labels = _labels_from_stats_batch(stats, H, W, config)
     if config.ransac_refinement:
         from deplex_tpu.ops.ransac import refine_labels
 

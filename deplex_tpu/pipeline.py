@@ -19,6 +19,30 @@ from deplex_tpu.ops.growing import grow_planes
 from deplex_tpu.ops.merge import merge_planes, rasterize_labels
 
 
+def merge_stage(labels_map: jax.Array, segments, config: Config) -> jax.Array:
+    """Stage-4 dispatch: (gh, gw) labels + PlaneSegments -> merge_labels.
+
+    Routes to the on-core Pallas merge kernel (B=1 wrap of the batched
+    kernel, ~4us/frame) when supported, else the exact XLA row loop
+    (~118us/frame) — the same auto gates as the batched depth path, so the
+    reference-shaped points API (PlaneExtractor.process) gets identical
+    stage timings to process_depth.
+    """
+    from deplex_tpu.ops.pallas_merge import (merge_planes_pallas_batched,
+                                             pallas_merge_supported)
+
+    if (config.use_pallas_growing is not False
+            and pallas_merge_supported(config)):
+        merge_labels, _ = jax.tree.map(
+            lambda a: a[0],
+            merge_planes_pallas_batched(
+                labels_map[None], jax.tree.map(lambda a: a[None], segments),
+                config))
+        return merge_labels
+    merge_labels, _ = merge_planes(labels_map, segments, config)
+    return merge_labels
+
+
 def extract_planes(points: jax.Array, *, image_height: int, image_width: int,
                    config: Config) -> jax.Array:
     """points: (H*W, 3) organized cloud -> (H*W,) int32 labels (0 = none).
@@ -34,7 +58,7 @@ def extract_planes(points: jax.Array, *, image_height: int, image_width: int,
 
     stats = compute_cell_stats(points, image_height, image_width, config)
     labels_map, segments = grow_planes(stats, config)
-    merge_labels, merged = merge_planes(labels_map, segments, config)
+    merge_labels = merge_stage(labels_map, segments, config)
     labels = rasterize_labels(labels_map, merge_labels, image_height, image_width, P)
 
     if config.ransac_refinement:
@@ -91,17 +115,7 @@ def extract_planes_from_depth(depth: jax.Array, intrinsics: jax.Array, *,
             lambda a: a[0],
             cell_stats_from_depth_pallas(depth[None], intrinsics, config))
         labels_map, segments = grow_planes(stats, config)
-        from deplex_tpu.ops.pallas_merge import (merge_planes_pallas_batched,
-                                                 pallas_merge_supported)
-        if (config.use_pallas_growing is not False
-                and pallas_merge_supported(config)):
-            merge_labels, _ = jax.tree.map(
-                lambda a: a[0],
-                merge_planes_pallas_batched(
-                    labels_map[None], jax.tree.map(lambda a: a[None], segments),
-                    config))
-        else:
-            merge_labels, _ = merge_planes(labels_map, segments, config)
+        merge_labels = merge_stage(labels_map, segments, config)
         return rasterize_labels(labels_map, merge_labels, H, W, P)
     points = backproject_device(depth, intrinsics)
     return extract_planes(points, image_height=H, image_width=W, config=config)

@@ -7,6 +7,7 @@ Must set env vars BEFORE jax initializes a backend.
 """
 
 import os
+import pathlib as _pathlib
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -14,6 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Persistent compile cache: the suite is compile-bound (dozens of unique
+# (shape, config) signatures), so re-runs skip straight to execution.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(
+    _pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 # The axon sitecustomize registers the TPU plugin at interpreter start and
 # pins jax to it regardless of JAX_PLATFORMS in the environment; the config

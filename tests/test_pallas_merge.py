@@ -40,6 +40,8 @@ def _assert_matches_xla(lm, seg, cfg):
                                rtol=1e-4, atol=1.0)
 
 
+@pytest.mark.heavy
+@pytest.mark.slow
 def test_tum_golden_batch(tum_cloud):
     """Rolled variants of the golden TUM frame; B=3 exercises sublane pad."""
     pts, h, w = tum_cloud
@@ -56,6 +58,8 @@ def test_tum_golden_batch(tum_cloud):
     _assert_matches_xla(lm, seg, cfg)
 
 
+@pytest.mark.heavy
+@pytest.mark.slow
 def test_synthetic_multi_plane_batch():
     """Random staircase scenes: many touching coplanar segments to merge."""
     rng = np.random.default_rng(7)
@@ -105,3 +109,34 @@ def test_atan2_poly(quadrant):
     got = np.asarray(_atan2_pos(jnp.asarray(y), jnp.asarray(x)))
     ref = np.arctan2(y.astype(np.float64), x.astype(np.float64))
     np.testing.assert_allclose(got, ref, atol=5e-7)
+
+
+def test_pipeline_points_api_dispatches_merge_kernel(tum_cloud, monkeypatch):
+    """The reference-shaped points API (pipeline.extract_planes, what
+    PlaneExtractor.process calls) must route stage 4 through the Pallas
+    merge kernel under the same auto gates as the depth path, with
+    identical labels. On CPU the gate is forced open and the kernel runs
+    in interpret mode."""
+    import functools
+
+    from deplex_tpu.ops import pallas_merge
+    from deplex_tpu.pipeline import extract_planes
+
+    pts, h, w = tum_cloud
+    cfg = Config()
+    ref = np.asarray(extract_planes(jnp.asarray(pts), image_height=h,
+                                    image_width=w, config=cfg))
+
+    calls = []
+    wrapped = functools.partial(merge_planes_pallas_batched, interpret=True)
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return wrapped(*args, **kwargs)
+
+    monkeypatch.setattr(pallas_merge, "pallas_merge_supported", lambda c: True)
+    monkeypatch.setattr(pallas_merge, "merge_planes_pallas_batched", spy)
+    got = np.asarray(extract_planes(jnp.asarray(pts), image_height=h,
+                                    image_width=w, config=cfg))
+    assert calls, "points API did not dispatch to the Pallas merge kernel"
+    np.testing.assert_array_equal(got, ref)

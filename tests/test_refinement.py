@@ -24,6 +24,8 @@ def _per_plane_mse(points, labels):
     return out
 
 
+@pytest.mark.heavy
+@pytest.mark.slow
 @pytest.mark.parametrize("frame", ["tum_cloud", "icl_cloud"])
 def test_refined_mse_not_worse(frame, request):
     pts, h, w = request.getfixturevalue(frame)
@@ -39,6 +41,8 @@ def test_refined_mse_not_worse(frame, request):
     assert len(improved) >= 0.8 * len(mse_r), (len(improved), len(mse_r))
 
 
+@pytest.mark.heavy
+@pytest.mark.slow
 def test_refinement_only_removes_labels(tum_cloud):
     """Refinement relabels outliers to 0, never adds or changes plane ids
     (plane_extractor.cpp:497-507)."""
@@ -87,6 +91,8 @@ class TestInliersRatioSemantics:
         w = reference_stop_winner(loss, jnp.float32(20.0), jnp.float32(0.85))
         assert int(w) == 2
 
+    @pytest.mark.heavy
+    @pytest.mark.slow
     def test_ratio_changes_refined_labels(self, tum_cloud):
         """The config field is live end-to-end: the shipped TUM ini's 0.15
         early exit produces different labels than exhaustive search."""

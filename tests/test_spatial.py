@@ -45,6 +45,8 @@ def _synthetic_cloud(H, W, seed=0):
     return np.stack([u * z, v * z, z], axis=-1).reshape(-1, 3)
 
 
+@pytest.mark.heavy
+@pytest.mark.slow
 def test_spatial_synthetic_with_padding():
     """gh (10 cell rows) not divisible by ntp (4): pad rows must stay inert
     and the result must agree with the single-device pipeline."""
@@ -62,6 +64,8 @@ def test_spatial_synthetic_with_padding():
     assert abs(n_got - n_ref) <= 1, (n_got, n_ref)
 
 
+@pytest.mark.heavy
+@pytest.mark.slow
 def test_spatial_one_cell_row_per_shard():
     """gh == ntp: cross-boundary propagation is halo-only (gh_l == 1)."""
     H, W = 64, 96  # patch 8 -> 8 cell rows over 8 shards
