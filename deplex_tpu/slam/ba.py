@@ -37,12 +37,23 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from deplex_tpu.slam.lie import se3_exp
+from deplex_tpu.slam.lie import se3_exp, so3_log
 from deplex_tpu.slam.planes import from_cp
 
 
 class BAProblem(NamedTuple):
-    """Static-shape BA inputs."""
+    """Static-shape BA inputs.
+
+    The optional odometry block (odo_*, None = absent) carries relative-pose
+    motion priors between consecutive keyframes, taken from the tracker.
+    Plane observations alone leave pose directions that no observed normal
+    spans unconstrained (a plane constrains only 3 of 6 DOF), so a pure
+    plane BA can wander along those null directions and DEGRADE a good
+    tracked trajectory; the motion priors carry the tracker's information
+    into the problem, making BA's solution a strict superset of what
+    tracking knew. In the sharded step these arrays must be passed
+    REPLICATED (they are (K-1)-sized and cross shard boundaries).
+    """
 
     R: jax.Array          # (K, 3, 3) initial rotations (camera-from-world)
     t: jax.Array          # (K, 3) initial translations
@@ -51,6 +62,10 @@ class BAProblem(NamedTuple):
     obs_d: jax.Array      # (K, P) measured offsets
     obs_lm: jax.Array     # (K, P) int32 landmark index (clip-safe; weight 0 if none)
     obs_w: jax.Array      # (K, P) observation weights (0 = empty slot)
+    odo_R: jax.Array | None = None   # (K-1, 3, 3) measured R_i R_{i+1}^T
+    odo_t: jax.Array | None = None   # (K-1, 3) measured t_i - R_rel t_{i+1}
+    odo_w: jax.Array | None = None   # (K-1,) motion-prior weights
+    cv_w: jax.Array | None = None    # (K-2,) constant-velocity prior weights
 
 
 class BAState(NamedTuple):
@@ -62,6 +77,9 @@ class BAState(NamedTuple):
 
 NORMAL_WEIGHT = 1000.0  # unitless normal residual vs raw-depth-unit offset
 OFFSET_WEIGHT = 1.0     # (same balance as slam.odometry.estimate_pose)
+HUBER_DELTA = 100.0     # robust scale on the weighted 4-residual norm
+ODO_ROT_SCALE = 1000.0  # rad -> depth-unit-equivalent (as pose_graph)
+ODO_TR_SCALE = 1.0
 
 
 def _residual_and_jac(Ri, ti, eta_j, n_obs, d_obs):
@@ -109,6 +127,11 @@ def _accumulate(problem: BAProblem, M: int):
         eta_sel = problem.eta[jnp.clip(lm, 0, M - 1)]      # (P, 3)
         r, Jp, Jl = jax.vmap(_residual_and_jac, in_axes=(None, None, 0, 0, 0))(
             Ri, ti, eta_sel, n_obs, d_obs)
+        # Huber IRLS weight: observations whose weighted residual norm
+        # exceeds the scale (misassociations, fragments) are downweighted
+        # instead of dragging poses (same robustification as odometry).
+        r_norm = jnp.sqrt(jnp.sum(r * r, -1) + 1e-12)
+        w = w * jnp.minimum(1.0, HUBER_DELTA / r_norm)
         Hpp_i = jnp.einsum("p,pik,pil->kl", w, Jp, Jp)      # (6, 6)
         bp_i = jnp.einsum("p,pik,pi->k", w, Jp, r)          # (6,)
         # Landmark-indexed accumulations via one-hot (dup-index scatters
@@ -124,6 +147,91 @@ def _accumulate(problem: BAProblem, M: int):
         problem.R, problem.t, problem.obs_normal, problem.obs_d,
         problem.obs_lm, problem.obs_w)
     return Hpp, bp, jnp.sum(Hll, 0), jnp.sum(bl, 0), Hpl, jnp.sum(cost)
+
+
+def _odo_residual(xi_a, xi_b, Ra, ta, Rb, tb, mR, mt):
+    """Weighted 6-residual of one consecutive-pose motion prior."""
+    dRa, dta = se3_exp(xi_a)
+    dRb, dtb = se3_exp(xi_b)
+    Ra2 = dRa @ Ra
+    ta2 = jnp.einsum("ij,j->i", dRa, ta) + dta
+    Rb2 = dRb @ Rb
+    tb2 = jnp.einsum("ij,j->i", dRb, tb) + dtb
+    R_rel = Ra2 @ Rb2.T
+    t_rel = ta2 - jnp.einsum("ij,j->i", R_rel, tb2)
+    r_rot = so3_log(mR.T @ R_rel) * ODO_ROT_SCALE
+    r_tr = (t_rel - mt) * ODO_TR_SCALE
+    return jnp.concatenate([r_rot, r_tr])
+
+
+def _cv_residual(xi_a, xi_b, xi_c, Ra, ta, Rb, tb, Rc, tc):
+    """Constant-velocity 6-residual over a pose triple (i-1, i, i+1).
+
+    Plane observations constrain only the 3 DOF their normals span; along
+    the remaining directions per-frame estimates JITTER (they don't drift —
+    each frame re-anchors to the map). A second-order smoothness prior —
+    zero change in relative rotation and camera-center velocity — is the
+    standard motion model that averages that jitter out; it is measurement-
+    free, so it cannot bias the solution toward any particular trajectory,
+    only toward smooth ones.
+    """
+    dRa, dta = se3_exp(xi_a)
+    dRb, dtb = se3_exp(xi_b)
+    dRc, dtc = se3_exp(xi_c)
+    R_a = dRa @ Ra
+    t_a = jnp.einsum("ij,j->i", dRa, ta) + dta
+    R_b = dRb @ Rb
+    t_b = jnp.einsum("ij,j->i", dRb, tb) + dtb
+    R_c = dRc @ Rc
+    t_c = jnp.einsum("ij,j->i", dRc, tc) + dtc
+    ca = -R_a.T @ t_a
+    cb = -R_b.T @ t_b
+    cc = -R_c.T @ t_c
+    A = R_c @ R_b.T
+    B = R_b @ R_a.T
+    r_rot = so3_log(A @ B.T) * ODO_ROT_SCALE
+    r_tr = (cc - cb) - (cb - ca)
+    return jnp.concatenate([r_rot, r_tr])
+
+
+def _cv_blocks(R_all, t_all, cv_w):
+    """GN blocks of the constant-velocity priors: triple e couples poses
+    (e, e+1, e+2). Returns (J (E, 3, 6, 6) per-pose Jacobians, r (E, 6),
+    cost ())."""
+    zeros6 = jnp.zeros(6, dtype=t_all.dtype)
+
+    def per_triple(Ra, ta, Rb, tb, Rc, tc, w):
+        args = (zeros6, zeros6, zeros6, Ra, ta, Rb, tb, Rc, tc)
+        r = _cv_residual(*args)
+        Js = [jax.jacfwd(_cv_residual, argnums=i)(*args) for i in range(3)]
+        return jnp.stack(Js), r, w * jnp.dot(r, r)
+
+    J, r, cost = jax.vmap(per_triple)(
+        R_all[:-2], t_all[:-2], R_all[1:-1], t_all[1:-1], R_all[2:],
+        t_all[2:], cv_w)
+    return J, r, jnp.sum(cost)
+
+
+def _odo_blocks(R_all, t_all, odo_R, odo_t, odo_w):
+    """Per-edge GN blocks of the motion priors: edge e couples poses e, e+1.
+
+    Returns (Haa, Hab, Hbb (E, 6, 6), ga, gb (E, 6), cost ())."""
+    zeros6 = jnp.zeros(6, dtype=t_all.dtype)
+
+    def per_edge(Ra, ta, Rb, tb, mR, mt, w):
+        r = _odo_residual(zeros6, zeros6, Ra, ta, Rb, tb, mR, mt)
+        Ja = jax.jacfwd(_odo_residual, argnums=0)(
+            zeros6, zeros6, Ra, ta, Rb, tb, mR, mt)
+        Jb = jax.jacfwd(_odo_residual, argnums=1)(
+            zeros6, zeros6, Ra, ta, Rb, tb, mR, mt)
+        Haa = w * Ja.T @ Ja
+        Hab = w * Ja.T @ Jb
+        Hbb = w * Jb.T @ Jb
+        return Haa, Hab, Hbb, w * Ja.T @ r, w * Jb.T @ r, w * jnp.dot(r, r)
+
+    Haa, Hab, Hbb, ga, gb, cost = jax.vmap(per_edge)(
+        R_all[:-1], t_all[:-1], R_all[1:], t_all[1:], odo_R, odo_t, odo_w)
+    return Haa, Hab, Hbb, ga, gb, jnp.sum(cost)
 
 
 def ba_step(problem: BAProblem, *, damping: float = 1e-4,
@@ -165,6 +273,38 @@ def ba_step(problem: BAProblem, *, damping: float = 1e-4,
 
     S = -U
     S = S.at[jnp.arange(Kg), jnp.arange(Kg)].add(Hpp_all)
+
+    # Motion priors (odometry + constant-velocity factors): pose-only
+    # terms, so they add straight into the Schur system. Poses are gathered
+    # when sharded (the prior chains cross shard boundaries; odo_*/cv_w
+    # arrays are replicated by contract).
+    if problem.odo_R is not None or problem.cv_w is not None:
+        if axis_name is not None:
+            R_all = jax.lax.all_gather(problem.R, axis_name, axis=0, tiled=True)
+            t_all = jax.lax.all_gather(problem.t, axis_name, axis=0, tiled=True)
+        else:
+            R_all, t_all = problem.R, problem.t
+    if problem.odo_R is not None:
+        Haa, Hab, Hbb, ga, gb, _ = _odo_blocks(
+            R_all, t_all, problem.odo_R, problem.odo_t, problem.odo_w)
+        idx = jnp.arange(Kg - 1)
+        S = S.at[idx, idx].add(Haa)
+        S = S.at[idx, idx + 1].add(Hab)
+        S = S.at[idx + 1, idx].add(jnp.swapaxes(Hab, -1, -2))
+        S = S.at[idx + 1, idx + 1].add(Hbb)
+        g = g.at[idx].add(ga)
+        g = g.at[idx + 1].add(gb)
+    if problem.cv_w is not None:
+        J, r, _ = _cv_blocks(R_all, t_all, problem.cv_w)
+        idx = jnp.arange(Kg - 2)
+        w = problem.cv_w
+        for a in range(3):
+            g = g.at[idx + a].add(
+                jnp.einsum("e,eik,ei->ek", w, J[:, a], r))
+            for b in range(3):
+                S = S.at[idx + a, idx + b].add(
+                    jnp.einsum("e,eik,eil->ekl", w, J[:, a], J[:, b]))
+
     S = S + damping * jnp.eye(6, dtype=S.dtype)[None, None] * \
         (jnp.arange(Kg)[:, None, None, None] == jnp.arange(Kg)[None, :, None, None])
     if gauge_fix_first:
@@ -196,18 +336,31 @@ def ba_step(problem: BAProblem, *, damping: float = 1e-4,
 
 
 def ba_cost(problem: BAProblem) -> jax.Array:
-    """Total weighted squared residual of the problem at its current state."""
+    """Total robust cost at the current state (Huber on observations, plus
+    the motion-prior quadratic when present) — the objective whose IRLS
+    weights the GN step uses, so LM accept/reject is consistent with it."""
     M = problem.eta.shape[0]
+    delta = jnp.float32(HUBER_DELTA)
 
     def per_frame(Ri, ti, n_obs, d_obs, lm, w):
         eta_sel = problem.eta[jnp.clip(lm, 0, M - 1)]
         r, _, _ = jax.vmap(_residual_and_jac, in_axes=(None, None, 0, 0, 0))(
             Ri, ti, eta_sel, n_obs, d_obs)
-        return jnp.sum(w * jnp.sum(r * r, -1))
+        s = jnp.sqrt(jnp.sum(r * r, -1) + 1e-12)
+        huber = jnp.where(s <= delta, s * s, delta * (2.0 * s - delta))
+        return jnp.sum(w * huber)
 
-    return jnp.sum(jax.vmap(per_frame)(
+    cost = jnp.sum(jax.vmap(per_frame)(
         problem.R, problem.t, problem.obs_normal, problem.obs_d,
         problem.obs_lm, problem.obs_w))
+    if problem.odo_R is not None:
+        *_, odo_cost = _odo_blocks(problem.R, problem.t, problem.odo_R,
+                                   problem.odo_t, problem.odo_w)
+        cost = cost + odo_cost
+    if problem.cv_w is not None:
+        *_, cv_cost = _cv_blocks(problem.R, problem.t, problem.cv_w)
+        cost = cost + cv_cost
+    return cost
 
 
 def run_ba(problem: BAProblem, *, iterations: int = 10, damping: float = 1e-4):

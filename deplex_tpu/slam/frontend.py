@@ -185,13 +185,18 @@ class PlaneSlam:
                                 np.asarray(result.matches_lm)))
         return result
 
-    def build_ba_problem(self):
+    def build_ba_problem(self, odo_weight: float = 3.0,
+                         cv_weight: float = 10000.0):
         """Assemble the accumulated keyframes into a BAProblem.
 
         Observations are the per-frame plane measurements matched to map
         landmarks during tracking; landmark initial values come from the
-        current map. Refine with deplex_tpu.slam.ba.run_ba (or the sharded
-        step over a mesh) and read refined poses/landmarks back.
+        current map. odo_weight > 0 adds consecutive-pose motion priors
+        taken from the tracked trajectory (ba.BAProblem docstring: they
+        carry the tracker's information into the problem so plane-null
+        pose directions cannot wander). Refine with
+        deplex_tpu.slam.ba.run_ba (or the sharded step over a mesh) and
+        read refined poses/landmarks back.
         """
         from deplex_tpu.slam.ba import BAProblem
         from deplex_tpu.slam.planes import to_cp
@@ -217,19 +222,37 @@ class PlaneSlam:
         R = np.stack([p[0] for p in self.trajectory])
         t = np.stack([p[1] for p in self.trajectory])
         eta = np.asarray(to_cp(self.map.normal, self.map.d))
+        odo = {}
+        if odo_weight > 0.0 and K >= 2:
+            odo_R = np.einsum("kij,klj->kil", R[:-1], R[1:])    # R_i R_{i+1}^T
+            odo_t = t[:-1] - np.einsum("kij,kj->ki", odo_R, t[1:])
+            odo = {"odo_R": jnp.asarray(odo_R.astype(np.float32)),
+                   "odo_t": jnp.asarray(odo_t.astype(np.float32)),
+                   "odo_w": jnp.full(K - 1, odo_weight, jnp.float32)}
+        if cv_weight > 0.0 and K >= 3:
+            odo["cv_w"] = jnp.full(K - 2, cv_weight, jnp.float32)
         return BAProblem(
             R=jnp.asarray(R), t=jnp.asarray(t), eta=jnp.asarray(eta),
             obs_normal=jnp.asarray(obs_normal), obs_d=jnp.asarray(obs_d),
             obs_lm=jnp.asarray(np.maximum(lm, 0), jnp.int32),
-            obs_w=jnp.asarray(obs_w))
+            obs_w=jnp.asarray(obs_w), **odo)
 
-    def build_pose_graph(self, min_shared: int = 3):
+    def build_pose_graph(self, min_shared: int = 3,
+                         tracking_prior_weight: float = 1.0,
+                         cv_weight: float = 10000.0):
         """Pose graph over keyframes: odometry edges between consecutive
         frames plus loop-closure edges between any pair co-observing >=
         min_shared map landmarks. Edge measurements are estimated DIRECTLY
         from the shared plane observations (frame-to-frame Gauss-Newton,
         independent of the tracked trajectory), so graph optimization can
-        correct accumulated drift.
+        correct accumulated drift. Edges are information-weighted by their
+        co-observation count (a 3-plane loop closure must not count like an
+        18-plane odometry edge), and tracking_prior_weight > 0 adds
+        consecutive-pose prior edges taken from the TRACKED trajectory —
+        frame-to-map tracking fuses every previous observation of a plane,
+        so its relative poses carry strictly more information than the
+        pairwise re-measurements; without them the graph replaces a fused
+        trajectory with the integral of noisier two-frame estimates.
 
         All E candidate edges are measured in ONE vmapped device dispatch
         (batched Gauss-Newton over the edge axis); candidate selection is a
@@ -309,22 +332,51 @@ class PlaneSlam:
         keep = consec | (per <= 5.0 * max(float(anchor), 1e-9))
         A, B = A[keep], B[keep]
         meas_R, meas_t = meas_R[keep], meas_t[keep]
+        # Information-proportional edge weights: co-observed plane count,
+        # normalized so a typical consecutive edge weighs 1.
+        n_shared = np.asarray([shared[a, b] for a, b in zip(A, B)], np.float32)
+        consec_k = (B - A) == 1
+        norm = np.median(n_shared[consec_k]) if consec_k.any() else \
+            max(n_shared.max(), 1.0)
+        w_edges = n_shared / max(float(norm), 1.0)
 
         # Nodes in world-from-camera convention so edge measurements compose
         # as T_ab = T_cw(a) o T_cw(b)^-1 (see slam/pose_graph.py residual).
         R_wc = np.stack([R.T for R, _ in self.trajectory])
         t_wc = np.stack([-R.T @ t for R, t in self.trajectory])
+
+        if tracking_prior_weight > 0.0 and K >= 2:
+            # Consecutive prior edges from the tracked trajectory itself
+            # (world-from-camera convention: T_ab = T_wc(a)^-1 T_wc(b)).
+            Ap = np.arange(K - 1)
+            Bp = Ap + 1
+            pR = np.einsum("kji,kjl->kil", R_wc[Ap], R_wc[Bp])   # Ra^T Rb
+            pt = np.einsum("kji,kj->ki", R_wc[Ap],
+                           t_wc[Bp] - t_wc[Ap])
+            A = np.concatenate([A, Ap])
+            B = np.concatenate([B, Bp])
+            meas_R = np.concatenate([meas_R, pR.astype(np.float32)])
+            meas_t = np.concatenate([meas_t, pt.astype(np.float32)])
+            w_edges = np.concatenate(
+                [w_edges, np.full(K - 1, tracking_prior_weight, np.float32)])
+
         return PoseGraph(
             R=jnp.asarray(R_wc), t=jnp.asarray(t_wc),
             edge_a=jnp.asarray(A, jnp.int32), edge_b=jnp.asarray(B, jnp.int32),
             meas_R=jnp.asarray(meas_R), meas_t=jnp.asarray(meas_t),
-            weight=jnp.ones(int(keep.sum()), jnp.float32))
+            weight=jnp.asarray(w_edges, jnp.float32),
+            cv_w=(jnp.full(K - 2, cv_weight, jnp.float32)
+                  if cv_weight > 0.0 and K >= 3 else None))
 
-    def optimize_trajectory(self, iterations: int = 15, min_shared: int = 3):
+    def optimize_trajectory(self, iterations: int = 15, min_shared: int = 3,
+                            tracking_prior_weight: float = 1.0,
+                            cv_weight: float = 10000.0):
         """Pose-graph optimization over the keyframe trajectory (in place)."""
         from deplex_tpu.slam.pose_graph import optimize_pose_graph
 
-        g = self.build_pose_graph(min_shared=min_shared)
+        g = self.build_pose_graph(min_shared=min_shared,
+                                  tracking_prior_weight=tracking_prior_weight,
+                                  cv_weight=cv_weight)
         out = optimize_pose_graph(g, iterations=iterations)
         R_wc = np.asarray(out.R)
         t_wc = np.asarray(out.t)
@@ -390,13 +442,15 @@ class PlaneSlam:
             "kf_lm": np.zeros((0, P), np.int32),
         }
 
-    def refine(self, iterations: int = 10, damping: float = 1e-4):
+    def refine(self, iterations: int = 10, damping: float = 1e-4,
+               odo_weight: float = 3.0, cv_weight: float = 10000.0):
         """Run windowed BA over all keyframes; updates trajectory + map."""
         from deplex_tpu.slam.ba import run_ba
         from deplex_tpu.slam.planes import from_cp
 
-        out = run_ba(self.build_ba_problem(), iterations=iterations,
-                     damping=damping)
+        out = run_ba(self.build_ba_problem(odo_weight=odo_weight,
+                                           cv_weight=cv_weight),
+                     iterations=iterations, damping=damping)
         self.trajectory = [(np.asarray(out.R[i]), np.asarray(out.t[i]))
                            for i in range(out.R.shape[0])]
         n, d = from_cp(out.eta)

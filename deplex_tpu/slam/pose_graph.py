@@ -35,13 +35,26 @@ class PoseGraph(NamedTuple):
     meas_R: jax.Array   # (E, 3, 3) measured R_a^-1 R_b
     meas_t: jax.Array   # (E, 3) measured t in a's frame
     weight: jax.Array   # (E,) edge weights, 0 = padding
+    cv_w: jax.Array | None = None  # (K-2,) constant-velocity prior weights
+
+
+# Rotation residuals are radians, translations are depth units (mm for
+# TUM); unscaled, a 1-degree edge rotation error (0.017^2) is invisible
+# next to a 10 mm translation error (100), so the optimizer would trade
+# large rotation drift for tiny translation gains — and rotation drift
+# integrates into position error over the chain. 1000 equates 1 rad to
+# 1000 mm of error: the position displacement that rotating a typical
+# indoor scene (~meters deep) induces.
+ROT_SCALE = 1000.0
+# Huber scale on the scaled 6-residual norm (same units as translation).
+HUBER_DELTA = 50.0
 
 
 def _edge_residual(Ra, ta, Rb, tb, mR, mt):
-    """6-residual of one edge given node poses."""
+    """Scaled 6-residual of one edge given node poses."""
     R_ab = Ra.T @ Rb
     t_ab = Ra.T @ (tb - ta)
-    r_rot = so3_log(mR.T @ R_ab)
+    r_rot = so3_log(mR.T @ R_ab) * ROT_SCALE
     r_tr = t_ab - mt
     return jnp.concatenate([r_rot, r_tr])
 
@@ -63,6 +76,11 @@ def pose_graph_step(g: PoseGraph, *, damping: float = 1e-5,
         Ra, ta = g.R[a], g.t[a]
         Rb, tb = g.R[b], g.t[b]
         r = residual_wrt_updates(zeros6, zeros6, Ra, ta, Rb, tb, mR, mt)
+        # Huber IRLS: an edge whose current residual is far off (bad loop
+        # closure that survived the frontend gate) is downweighted each
+        # iteration instead of bending the whole chain toward it.
+        r_norm = jnp.sqrt(jnp.sum(r * r) + 1e-12)
+        w = w * jnp.minimum(1.0, HUBER_DELTA / r_norm)
         Ja = jax.jacfwd(residual_wrt_updates, argnums=0)(
             zeros6, zeros6, Ra, ta, Rb, tb, mR, mt)
         Jb = jax.jacfwd(residual_wrt_updates, argnums=1)(
@@ -86,6 +104,40 @@ def pose_graph_step(g: PoseGraph, *, damping: float = 1e-5,
     if axis_name is not None:
         H = jax.lax.psum(H, axis_name)
         b_vec = jax.lax.psum(b_vec, axis_name)
+
+    # Constant-velocity priors over node triples (same motion model as
+    # ba._cv_residual, in this module's world-from-camera convention:
+    # camera center IS t). Measurement-free second-order smoothness that
+    # averages per-frame jitter along weakly-observed directions.
+    if g.cv_w is not None:
+        def cv_residual(xi_a, xi_b, xi_c, Ra, ta, Rb, tb, Rc, tc):
+            dRa, dta = se3_exp(xi_a)
+            dRb, dtb = se3_exp(xi_b)
+            dRc, dtc = se3_exp(xi_c)
+            R_a, t_a = dRa @ Ra, jnp.einsum("ij,j->i", dRa, ta) + dta
+            R_b, t_b = dRb @ Rb, jnp.einsum("ij,j->i", dRb, tb) + dtb
+            R_c, t_c = dRc @ Rc, jnp.einsum("ij,j->i", dRc, tc) + dtc
+            r_rot = so3_log((R_b.T @ R_c) @ (R_a.T @ R_b).T) * ROT_SCALE
+            r_tr = (t_c - t_b) - (t_b - t_a)
+            return jnp.concatenate([r_rot, r_tr])
+
+        def per_triple(Ra, ta, Rb, tb, Rc, tc, w):
+            args = (zeros6, zeros6, zeros6, Ra, ta, Rb, tb, Rc, tc)
+            r = cv_residual(*args)
+            Js = [jax.jacfwd(cv_residual, argnums=i)(*args) for i in range(3)]
+            return jnp.stack(Js), r
+
+        J, r_cv = jax.vmap(per_triple)(
+            g.R[:-2], g.t[:-2], g.R[1:-1], g.t[1:-1], g.R[2:], g.t[2:],
+            g.cv_w)
+        idx = jnp.arange(K - 2)
+        w = g.cv_w
+        for a in range(3):
+            b_vec = b_vec.at[idx + a].add(
+                jnp.einsum("e,eik,ei->ek", w, J[:, a], r_cv))
+            for c in range(3):
+                H = H.at[idx + a, :, idx + c, :].add(
+                    jnp.einsum("e,eik,eil->ekl", w, J[:, a], J[:, c]))
 
     # Gauge fix node 0.
     mask = (jnp.arange(K) != 0).astype(H.dtype)

@@ -128,9 +128,12 @@ def run_dataset(args):
                                               axis=1).sum()), 1)
     report = {"dataset": str(root), "frames": n,
               "protocol": "run_slam.py --dataset: native SequenceLoader -> "
-                          "PlaneSlam tracking; BA and pose-graph each applied "
-                          "to the tracked trajectory independently; sequence "
-                          "from scripts/make_sequence.py (warped real TUM "
+                          "PlaneSlam tracking; BA (odometry + constant-"
+                          "velocity motion priors, slam/ba.py) and pose-"
+                          "graph (info-weighted edges + tracking priors + "
+                          "cv priors, slam/pose_graph.py) each applied to "
+                          "the tracked trajectory independently; sequence "
+                          "from scripts/make_sequence.py (warped real "
                           "frame, exact ground truth)",
               "trajectory_length_mm": traj_len,
               "landmarks": int(np.asarray(slam.map.count)),
@@ -166,7 +169,16 @@ def main():
     parser.add_argument("--max-landmarks", type=int, default=64)
     parser.add_argument("--min-shared", type=int, default=3)
     parser.add_argument("--report", default=None, help="write ATE report JSON")
+    parser.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                        help="pin the JAX backend (the committed ATE "
+                             "artifacts are generated with --platform cpu "
+                             "for bit-reproducibility; site config may "
+                             "override JAX_PLATFORMS, so use this flag)")
     args = parser.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.dataset:
         run_dataset(args)
         return

@@ -248,3 +248,131 @@ class TestCheckpoint:
         restored = load_checkpoint(str(tmp_path / "ck"), state)
         np.testing.assert_allclose(np.asarray(restored["map"].d), np.asarray(m.d))
         assert int(np.asarray(restored["map"].count)) == 3
+
+
+class TestMotionPriors:
+    """Odometry + constant-velocity priors (ba.BAProblem odo_*/cv_w): the
+    fix for plane-null pose directions. Two axis-aligned wall planes leave
+    z-translation completely unobservable; priors must pin it."""
+
+    def _underconstrained_problem(self, jitter_z):
+        """K poses on a constant-velocity line, observing ONLY x/y walls.
+
+        Initial z positions carry the given jitter; plane observations are
+        exact, so any BA result is cost-optimal in x/y while z is free.
+        """
+        K = 8
+        n_w = jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]], jnp.float32)
+        d_w = jnp.asarray([2000.0, 1500.0], jnp.float32)
+        R_true = jnp.broadcast_to(jnp.eye(3), (K, 3, 3)).astype(jnp.float32)
+        t_true = jnp.asarray(
+            np.stack([np.array([10.0 * k, 5.0 * k, 20.0 * k], np.float32)
+                      for k in range(K)]))
+        n_c, d_c = jax.vmap(transform_plane, in_axes=(0, 0, None, None))(
+            R_true, t_true, n_w, d_w)
+        t0 = t_true.at[:, 2].add(jnp.asarray(jitter_z, jnp.float32))
+        prob = BAProblem(
+            R=R_true, t=t0, eta=jnp.asarray(to_cp(n_w, d_w)),
+            obs_normal=n_c, obs_d=d_c,
+            obs_lm=jnp.broadcast_to(jnp.arange(2), (K, 2)).astype(jnp.int32),
+            obs_w=jnp.ones((K, 2), jnp.float32))
+        return prob, t_true
+
+    def test_plane_null_direction_unconstrained_without_priors(self):
+        rng = np.random.default_rng(11)
+        jit_z = (rng.normal(size=8) * 30).astype(np.float32)
+        jit_z[0] = 0.0
+        prob, t_true = self._underconstrained_problem(jit_z)
+        out = run_ba(prob, iterations=8)
+        # z-jitter survives: nothing in the cost touches it.
+        z_err = np.abs(np.asarray(out.t[:, 2] - t_true[:, 2]))
+        assert z_err.max() > 20.0, z_err
+
+    def test_cv_prior_pins_null_direction(self):
+        rng = np.random.default_rng(11)
+        jit_z = (rng.normal(size=8) * 30).astype(np.float32)
+        jit_z[0] = 0.0
+        prob, t_true = self._underconstrained_problem(jit_z)
+        prob = prob._replace(cv_w=jnp.full(6, 1000.0, jnp.float32))
+        out = run_ba(prob, iterations=8)
+        z_err = np.abs(np.asarray(out.t[:, 2] - t_true[:, 2]))
+        # The constant-velocity prior straightens z up to the gauge left by
+        # the free endpoints (pose 0 fixed, overall z-slope unobservable):
+        # compare against the best line, not the exact truth.
+        z = np.asarray(out.t[:, 2])
+        k = np.arange(8)
+        slope = np.polyfit(k, z, 1)
+        line_resid = z - np.polyval(slope, k)
+        assert np.abs(line_resid).max() < 2.0, line_resid
+        assert np.abs(line_resid).max() < 0.2 * z_err.max() + 2.0
+
+    def test_odo_prior_recovers_relative_chain(self):
+        rng = np.random.default_rng(12)
+        jit_z = (rng.normal(size=8) * 30).astype(np.float32)
+        jit_z[0] = 0.0
+        prob, t_true = self._underconstrained_problem(jit_z)
+        # Odometry measurements from the TRUE chain (identity rotations):
+        # t_rel = t_i - t_{i+1}.
+        odo_R = jnp.broadcast_to(jnp.eye(3), (7, 3, 3)).astype(jnp.float32)
+        odo_t = t_true[:-1] - t_true[1:]
+        prob = prob._replace(odo_R=odo_R, odo_t=odo_t,
+                             odo_w=jnp.full(7, 100.0, jnp.float32))
+        out = run_ba(prob, iterations=8)
+        np.testing.assert_allclose(np.asarray(out.t), np.asarray(t_true),
+                                   atol=1.0)
+
+    def test_ba_sharded_matches_dense_with_priors(self):
+        """Sharded step with replicated prior arrays == dense step."""
+        from jax import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        rng = np.random.default_rng(13)
+        jit_z = (rng.normal(size=8) * 30).astype(np.float32)
+        jit_z[0] = 0.0
+        prob, t_true = self._underconstrained_problem(jit_z)
+        odo_R = jnp.broadcast_to(jnp.eye(3), (7, 3, 3)).astype(jnp.float32)
+        odo_t = t_true[:-1] - t_true[1:]
+        prob = prob._replace(odo_R=odo_R, odo_t=odo_t,
+                             odo_w=jnp.full(7, 10.0, jnp.float32),
+                             cv_w=jnp.full(6, 100.0, jnp.float32))
+
+        dense = ba_step(prob, damping=1e-4)
+        mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("kf",))
+        sharded_fn = shard_map(
+            lambda p: ba_step(p, damping=1e-4, axis_name="kf"),
+            mesh=mesh,
+            in_specs=(BAProblem(R=P("kf"), t=P("kf"), eta=P(),
+                                obs_normal=P("kf"), obs_d=P("kf"),
+                                obs_lm=P("kf"), obs_w=P("kf"),
+                                odo_R=P(), odo_t=P(), odo_w=P(),
+                                cv_w=P()),),
+            out_specs=(type(dense))(R=P("kf"), t=P("kf"), eta=P(), cost=P()),
+            check_vma=False)
+        sharded = jax.jit(sharded_fn)(prob)
+        np.testing.assert_allclose(np.asarray(sharded.R), np.asarray(dense.R),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(sharded.t), np.asarray(dense.t),
+                                   rtol=5e-3, atol=0.2)
+
+    def test_pose_graph_cv_smooths_jitter(self):
+        """A jittered chain with exact consecutive edges + cv priors ends
+        closer to the true line than the jittered start."""
+        K = 10
+        t_true = np.stack([[12.0 * k, -4.0 * k, 8.0 * k] for k in range(K)]
+                          ).astype(np.float32)
+        rng = np.random.default_rng(14)
+        jit = (rng.normal(size=(K, 3)) * 20).astype(np.float32)
+        jit[0] = 0.0
+        R = jnp.broadcast_to(jnp.eye(3), (K, 3, 3)).astype(jnp.float32)
+        g = PoseGraph(
+            R=R, t=jnp.asarray(t_true + jit),
+            edge_a=jnp.arange(K - 1, dtype=jnp.int32),
+            edge_b=jnp.arange(1, K, dtype=jnp.int32),
+            meas_R=jnp.broadcast_to(jnp.eye(3), (K - 1, 3, 3)).astype(jnp.float32),
+            meas_t=jnp.asarray(t_true[1:] - t_true[:-1]),
+            weight=jnp.ones(K - 1, jnp.float32),
+            cv_w=jnp.full(K - 2, 100.0, jnp.float32))
+        out = optimize_pose_graph(g, iterations=25)
+        err0 = np.abs(jit).max()
+        err1 = np.abs(np.asarray(out.t) - t_true).max()
+        assert err1 < 0.3 * err0, (err1, err0)

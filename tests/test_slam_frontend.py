@@ -124,7 +124,8 @@ def test_pose_graph_scales_to_50_keyframes():
     g = slam.build_pose_graph(min_shared=3)
     dt = time.perf_counter() - t0
     n_edges = int(g.edge_a.shape[0])
-    assert n_edges == (K - 1) + (K - 1) * K // 2 - (K - 1)  # all pairs
+    # All measured pairs plus the K-1 tracking-prior consecutive edges.
+    assert n_edges == (K - 1) + (K - 1) * K // 2 - (K - 1) + (K - 1)
     # One compile + one vmapped dispatch; generous CI bound.
     assert dt < 120.0, dt
     # Edge measurements recover the true relative poses (exact observations).

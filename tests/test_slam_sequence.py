@@ -53,7 +53,11 @@ def _track(seq_dir, K, shape, *, start=0, stop=None, slam=None):
     H, W = shape
     paths = sorted(seq_dir.glob("*.png"))[start:stop]
     if slam is None:
-        slam = PlaneSlam(H, W, Config(), max_landmarks=64, odom_iterations=10)
+        # patch 5 at half resolution = the same physical cell size as the
+        # default patch 10 at 640x480 (fewer, larger cells at half-res
+        # starve the odometry of plane observations).
+        slam = PlaneSlam(H, W, Config(patch_size=5), max_landmarks=64,
+                         odom_iterations=10)
     loader = SequenceLoader([str(p) for p in paths], W, H)
     for depth in loader:
         slam.process_frame(backproject_device(jnp.asarray(depth),
@@ -74,26 +78,25 @@ def test_sequence_tracking_pose_graph_ba_ate(tum_sequence):
     assert len(slam.trajectory) == 30
 
     ate_track = _ate(slam.trajectory, poses)
-    # Trajectory spans ~430mm of motion. Measured at this half-res warped
-    # config: tracking ~196mm RMS (warp resampling bias dominates; full-res
-    # measures ~104mm — data/golden/slam_ate_tum30.json). Bounds are ~1.5x
-    # measured: they catch divergence-class regressions (the pre-LM BA
-    # scored 11790mm) while tolerating tie-break noise.
+    # Trajectory spans ~430mm of motion; bound is ~1.5x the measured
+    # half-res tracking RMS (catches divergence-class regressions while
+    # tolerating tie-break noise).
     assert ate_track < 300.0, ate_track
     tracked = list(slam.trajectory)
 
-    # Backend stages must stay within a small factor of tracking (LM cost
-    # monotonicity keeps them sane; half-res plane observations are noisy
-    # enough that they don't reliably IMPROVE a low-drift trajectory).
-    # Divergence-class regressions score 30-100x tracking.
+    # The backends must be NET-POSITIVE: per-frame plane odometry jitters
+    # along weakly-observed directions, and the BA/pose-graph motion priors
+    # (odometry + constant-velocity factors) average that jitter out, so
+    # each stage must land at or below tracking ATE (epsilon for f32
+    # tie-break noise). Full-res artifact: data/golden/slam_ate_tum30.json.
     slam.refine(iterations=10)
     ate_ba = _ate(slam.trajectory, poses)
-    assert ate_ba < max(3.0 * ate_track, 350.0), (ate_ba, ate_track)
+    assert ate_ba <= 1.05 * ate_track, (ate_ba, ate_track)
 
     slam.trajectory = tracked
     slam.optimize_trajectory(min_shared=3)
     ate_pg = _ate(slam.trajectory, poses)
-    assert ate_pg < max(3.0 * ate_track, 400.0), (ate_pg, ate_track)
+    assert ate_pg <= 1.05 * ate_track, (ate_pg, ate_track)
 
 
 @pytest.mark.slow
@@ -111,7 +114,8 @@ def test_checkpoint_resume_mid_sequence(tum_sequence, tmp_path):
     ckpt = tmp_path / "slam_ckpt"
     first.save(str(ckpt))
 
-    resumed = PlaneSlam(H, W, Config(), max_landmarks=64, odom_iterations=10)
+    resumed = PlaneSlam(H, W, Config(patch_size=5), max_landmarks=64,
+                        odom_iterations=10)
     resumed.load(str(ckpt))
     assert len(resumed.trajectory) == 15
     resumed = _track(seq_dir, K, shape, start=15, slam=resumed)
@@ -125,3 +129,54 @@ def test_checkpoint_resume_mid_sequence(tum_sequence, tmp_path):
     np.testing.assert_array_equal(np.asarray(resumed.map.weight),
                                   np.asarray(full.map.weight))
     assert int(resumed.map.count) == int(full.map.count)
+
+
+@pytest.fixture(scope="module")
+def icl_sequence(tmp_path_factory):
+    """30 warped ICL-NUIM frames at half resolution + ground truth
+    (BASELINE.json config 3: the second dataset's sequence protocol)."""
+    from PIL import Image
+
+    from deplex_tpu.utils import DepthImage, read_intrinsics
+    from deplex_tpu.utils.warp import render_sequence, smooth_trajectory
+
+    img = DepthImage(str(DATA / "icl_nuim" / "0.png"))
+    K = np.asarray(read_intrinsics(
+        str(DATA / "configs" / "ICL_living_room.K")), np.float32)
+    depth0 = img.data[::2, ::2]
+    K2 = K.copy()
+    K2[0] *= 0.5
+    K2[1] *= 0.5
+    poses = smooth_trajectory(30, seed=1)
+    frames = render_sequence(depth0, K2, poses)
+    out = tmp_path_factory.mktemp("icl_seq")
+    for i, d in enumerate(frames):
+        arr = np.clip(np.round(d), 0, 65535).astype(np.uint16)
+        Image.fromarray(arr, mode="I;16").save(out / f"{i:06d}.png")
+    return out, K2, poses, depth0.shape
+
+
+@pytest.mark.slow
+def test_icl_sequence_tracking_and_backends(icl_sequence):
+    """ICL-NUIM warped sequence: tracking within bound, backends
+    net-positive (artifact: data/golden/slam_ate_icl30.json)."""
+    seq_dir, K, poses, shape = icl_sequence
+    H, W = shape
+    slam = PlaneSlam(H, W, Config.from_ini(
+        str(DATA / "configs" / "ICL_living_room.ini")),
+        max_landmarks=64, odom_iterations=10)
+    slam = _track(seq_dir, K, shape, slam=slam)
+    assert len(slam.trajectory) == 30
+
+    ate_track = _ate(slam.trajectory, poses)
+    assert ate_track < 300.0, ate_track
+    tracked = list(slam.trajectory)
+
+    slam.refine(iterations=10)
+    ate_ba = _ate(slam.trajectory, poses)
+    assert ate_ba <= 1.05 * ate_track, (ate_ba, ate_track)
+
+    slam.trajectory = tracked
+    slam.optimize_trajectory(min_shared=3)
+    ate_pg = _ate(slam.trajectory, poses)
+    assert ate_pg <= 1.05 * ate_track, (ate_pg, ate_track)
