@@ -86,6 +86,66 @@ def _fit_plane(scatter, coord_sum, n):
     return normal, mean, d, mse, score
 
 
+def region_sums(round_map: jax.Array, seed_flat: jax.Array, stats: CellStats,
+                r_max: int) -> jax.Array:
+    """Per-round sufficient statistics recovered from the consumption map.
+
+    The growing loop (XLA or Pallas) only needs to decide WHICH cells each
+    round consumed; the per-round moment sums are order-independent given
+    `round_map`, so they are computed here OUTSIDE the sequential loop as
+    one-hot contractions (MXU matmuls) over all rounds at once. This removes
+    ~11 masked reductions per round from the loop body — the growing
+    kernel's former dominant cost.
+
+    round_map: (gh, gw) int32 — round that consumed each cell, -1 for none.
+    seed_flat: (r_max,) int32 — flat (row*gw+col) id of each round's seed
+        (any out-of-range value for rounds that consumed nothing). The seed
+        is weighted twice, reproducing the reference's accumulator seeding
+        (plane_extractor.cpp:318-323).
+    Returns (r_max, 16) f32 rows in the RoundData.sums layout.
+
+    Numerics mirror the former in-loop computation exactly: per-cell second
+    moments are Chan-recentered about their round's mean BEFORE the weighted
+    reduction, so there is no catastrophic cancellation.
+    """
+    gh, gw = round_map.shape
+    N = gh * gw
+    f32 = jnp.float32
+    rm = round_map.reshape(N)
+    rids = jnp.arange(r_max, dtype=jnp.int32)
+    onehot = rm[None, :] == rids[:, None]                      # (R, N)
+    seed_w = (seed_flat[:, None] == jnp.arange(N, dtype=jnp.int32)[None, :]) & onehot
+    w = onehot.astype(f32) + seed_w.astype(f32)
+    size = jnp.sum(onehot, axis=1).astype(f32)
+
+    nr_pts = jnp.asarray(stats.nr_pts, f32)
+    cs = stats.coord_sum.reshape(N, 3).astype(f32)
+    mean = stats.mean.reshape(N, 3).astype(f32)
+    hi = jax.lax.Precision.HIGHEST
+
+    n_tot = jnp.sum(w, axis=1) * nr_pts                        # (R,)
+    sum_tot = jnp.matmul(w, cs, precision=hi)                  # (R, 3)
+    mu = sum_tot / jnp.maximum(n_tot, 1.0)[:, None]
+    # Broadcast each cell's round mean back to the cell (transpose one-hot);
+    # unconsumed cells get 0 but carry zero weight everywhere.
+    mu_cell = jnp.matmul(onehot.astype(f32).T, mu, precision=hi)   # (N, 3)
+    dmu = mean - mu_cell
+    sc = stats.scatter.reshape(N, 3, 3).astype(f32)
+    feat = jnp.stack([
+        sc[:, 0, 0] + nr_pts * dmu[:, 0] * dmu[:, 0],
+        sc[:, 0, 1] + nr_pts * dmu[:, 0] * dmu[:, 1],
+        sc[:, 0, 2] + nr_pts * dmu[:, 0] * dmu[:, 2],
+        sc[:, 1, 1] + nr_pts * dmu[:, 1] * dmu[:, 1],
+        sc[:, 1, 2] + nr_pts * dmu[:, 1] * dmu[:, 2],
+        sc[:, 2, 2] + nr_pts * dmu[:, 2] * dmu[:, 2],
+    ], axis=1)                                                 # (N, 6)
+    sc_tot = jnp.matmul(w, feat, precision=hi)                 # (R, 6)
+
+    return jnp.concatenate([
+        n_tot[:, None], sum_tot, sc_tot, size[:, None],
+        jnp.zeros((r_max, 5), f32)], axis=1)
+
+
 def admissibility_edges(stats: CellStats, config: Config):
     """Directed edge masks b->c for the four in-neighbor directions.
 
@@ -173,7 +233,7 @@ def grow_rounds(stats: CellStats, config: Config) -> RoundData:
         bins: jax.Array          # (gh, gw) int32, -1 = consumed/non-planar
         unassigned: jax.Array    # (gh, gw) bool
         round_map: jax.Array     # (gh, gw) int32
-        sums: jax.Array          # (R_MAX, 16) f32
+        seeds: jax.Array         # (R_MAX,) int32 flat seed id per round
         remaining: jax.Array     # () int32
         stop: jax.Array          # () bool
         rounds: jax.Array        # () int32
@@ -182,7 +242,7 @@ def grow_rounds(stats: CellStats, config: Config) -> RoundData:
         bins=bins0,
         unassigned=stats.planar,
         round_map=jnp.full((gh, gw), -1, jnp.int32),
-        sums=jnp.zeros((R_MAX, 16), jnp.float32),
+        seeds=jnp.full((R_MAX,), gh * gw, jnp.int32),
         remaining=jnp.sum(stats.planar).astype(jnp.int32),
         stop=jnp.bool_(False),
         rounds=jnp.int32(0),
@@ -208,39 +268,23 @@ def grow_rounds(stats: CellStats, config: Config) -> RoundData:
         region = region & ~stop  # a stopped round consumes nothing
         size = jnp.sum(region).astype(jnp.int32)
 
-        # 4. Consume.
+        # 4. Consume. The seed id is recorded so the post-loop sums pass
+        # (region_sums) can weight it twice — the reference seeds the
+        # accumulator with a COPY of the seed cell and then adds every
+        # region cell including the seed (plane_extractor.cpp:318-323).
         bins = jnp.where(region, -1, s.bins)
         unassigned = s.unassigned & ~region
         remaining = s.remaining - size
         round_map = jnp.where(region, s.rounds, s.round_map)
-
-        # 5. Region sufficient statistics. The reference seeds the
-        # accumulator with a COPY of the seed cell and then adds every
-        # region cell including the seed, so the seed is counted twice
-        # (plane_extractor.cpp:318-323).
-        wgt = region.astype(jnp.float32) + (seed_mask & region).astype(jnp.float32)
-        n_tot = jnp.sum(wgt) * stats.nr_pts
-        sum_tot = jnp.einsum("gh,ghi->i", wgt, stats.coord_sum)
-        mu = sum_tot / jnp.maximum(n_tot, 1.0)
-        dmu = stats.mean - mu  # (gh, gw, 3)
-        # Chan combine about the global mean: no catastrophic cancellation.
-        sc_tot = (jnp.einsum("gh,ghij->ij", wgt, stats.scatter)
-                  + stats.nr_pts * jnp.einsum("gh,ghi,ghj->ij", wgt, dmu, dmu))
-        row = jnp.zeros(16, jnp.float32)
-        row = row.at[_N].set(n_tot)
-        row = jax.lax.dynamic_update_slice(row, sum_tot, (_SX,))
-        packed = jnp.stack([sc_tot[0, 0], sc_tot[0, 1], sc_tot[0, 2],
-                            sc_tot[1, 1], sc_tot[1, 2], sc_tot[2, 2]])
-        row = jax.lax.dynamic_update_slice(row, packed, (_XX,))
-        row = row.at[_SIZE].set(size.astype(jnp.float32))
-        sums = jax.lax.dynamic_update_slice(s.sums, row[None], (s.rounds, 0))
+        seeds = s.seeds.at[s.rounds].set(seed_id.astype(jnp.int32))
 
         return LoopState(bins=bins, unassigned=unassigned, round_map=round_map,
-                         sums=sums, remaining=remaining, stop=stop,
+                         seeds=seeds, remaining=remaining, stop=stop,
                          rounds=s.rounds + 1)
 
     final = jax.lax.while_loop(cond, body, state0)
-    return RoundData(round_map=final.round_map, sums=final.sums,
+    sums = region_sums(final.round_map, final.seeds, stats, R_MAX)
+    return RoundData(round_map=final.round_map, sums=sums,
                      nr_rounds=final.rounds)
 
 

@@ -9,32 +9,36 @@ vector ops, so the stage drops from milliseconds to microseconds.
 Same output contract as growing.grow_rounds (RoundData) — the batched
 fits/gates/labels post-pass (growing.finalize_rounds) is shared.
 
-Algorithmic notes:
-  * The mutable normals histogram is kept as a (8,128) f32 register tile
-    (bins <= 1024), maintained LAZILY: consuming a region never updates
-    it (a per-bin decrement is a scatter, and regions can span ~70
-    distinct bins — low-polar normals quantize into wildly varying
-    azimuth bins — so an eager distinct-bin extraction loop measured as
-    the kernel's largest cost). Instead counts are only corrected at
-    selection time: argmax the stale tile, recount the winning bin
-    against the live `bins` canvas (one comparison + reduction), write
-    the true count back, and repeat until the argmax verifies. Since
-    consumption only ever lowers true counts, stale >= true is an
-    invariant, so a verified peak dominates every other bin's true count
-    and the selected bin (with first-max tie-break on the corrected
-    tile) is exactly the one an eagerly-maintained histogram would give.
+Design notes (what stays OUT of the sequential loop):
+  * Per-round moment sums are NOT computed in the kernel. The loop only
+    decides WHICH cells each round consumes (round_map) and each round's
+    seed id; growing.region_sums recovers the (R_MAX, 16) statistics
+    afterwards with one-hot MXU contractions. The former in-kernel sums
+    cost ~11 masked VPU reductions per frame per round — the kernel's
+    single largest cost.
+  * The mutable normals histogram is kept per frame as an (8, 128) f32
+    register tile (bins <= 1024), maintained LAZILY: consuming a region
+    never updates it (a per-bin decrement is a scatter, and regions can
+    span ~70 distinct bins — low-polar normals quantize into wildly
+    varying azimuth bins — so an eager distinct-bin extraction loop
+    measured as the kernel's second-largest cost). Counts are corrected
+    only at selection time: argmax the stale tile, recount the winning bin
+    against the live `bins` canvas (one comparison + reduction), write the
+    true count back, and repeat until the argmax verifies. Since
+    consumption only lowers true counts, stale >= true is an invariant, so
+    a verified peak dominates every other bin's true count and the
+    selected bin (first-max tie-break) is exactly the one an eagerly
+    maintained histogram would give: any earlier bin with the same true
+    count would also be a stale maximum and would have won the first-max.
     Each failing probe strictly lowers one stale count, so the loop
     terminates; in practice it verifies in ~1 probe per round because a
-    stale bin is only ever probed once its stale count tops the running
-    maximum.
+    stale bin is only probed once its stale count tops the running max.
   * Flood fill is 4-neighbor mask propagation with zero-padded shifts
     (slice+concat, which Mosaic lowers to lane/sublane shifts), 8 hops per
     fixpoint check, exactly like the XLA path.
-  * Seed double-counting (reference plane_extractor.cpp:318-323) is
-    reproduced by weighting the seed cell 2x in the region sums.
 
-VMEM budget: ~17 f32 planes of (PH, PW) + (R_MAX, 128) output; supported()
-gates grids whose padded planes fit comfortably.
+VMEM budget: ~12 f32 planes of (PH, PW) + small outputs; supported() gates
+grids whose padded planes fit comfortably.
 """
 
 from __future__ import annotations
@@ -52,12 +56,6 @@ from deplex_tpu.ops.histogram import normal_bins
 
 _LANES = 128
 _SUBLANES = 8
-
-
-def _pad_to(x, ph, pw, fill):
-    gh, gw = x.shape[:2]
-    return jnp.pad(x, ((0, ph - gh), (0, pw - gw)) + ((0, 0),) * (x.ndim - 2),
-                   constant_values=fill)
 
 
 def _round_up(n, m):
@@ -84,8 +82,9 @@ def pallas_batched_supported(n_frames: int, grid_shape, config: Config) -> bool:
     ph, pw = _round_up(gh, _SUBLANES), _round_up(gw, _LANES)
     if config.histogram_bins_per_coord ** 2 > _SUBLANES * _LANES:
         return False
-    vmem = (22 * (n_frames // k) * ph * pw * 4
-            + n_frames * config.max_region_growing_rounds * _LANES * 4)
+    vmem = (12 * (n_frames // k) * ph * pw * 4
+            + n_frames * (_SUBLANES * _LANES
+                          + _round_up(config.max_region_growing_rounds, _LANES)) * 4)
     if vmem > 10 * 1024 * 1024:
         return False
     try:
@@ -96,19 +95,7 @@ def pallas_batched_supported(n_frames: int, grid_shape, config: Config) -> bool:
 
 def pallas_supported(grid_shape, config: Config) -> bool:
     """True if the kernel's VMEM plan fits this grid (and we're on TPU)."""
-    gh, gw = grid_shape
-    ph, pw = _round_up(gh, _SUBLANES), _round_up(gw, _LANES)
-    nbins2 = config.histogram_bins_per_coord ** 2
-    if nbins2 > _SUBLANES * _LANES:
-        return False
-    # ~20 f32 planes of state + inputs, plus outputs; keep well under 16MB.
-    vmem = 22 * ph * pw * 4 + config.max_region_growing_rounds * _LANES * 4
-    if vmem > 8 * 1024 * 1024:
-        return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    return pallas_batched_supported(1, grid_shape, config)
 
 
 def _shift(x, dr, dc):
@@ -126,139 +113,9 @@ def _shift(x, dr, dc):
     return x
 
 
-def _kernel(nr_pts_ref, hist0_ref, planar_ref, bins_ref, mse_ref, eu_ref,
-            ed_ref, el_ref, er_ref, csx_ref, csy_ref, csz_ref, mx_ref, my_ref,
-            mz_ref, sxx_ref, sxy_ref, sxz_ref, syy_ref, syz_ref, szz_ref,
-            round_map_ref, sums_ref, nrounds_ref, *,
-            r_max: int, min_candidates: int, hist_rows: int):
-    PH, PW = planar_ref.shape
-    f32 = jnp.float32
-    nr_pts = nr_pts_ref[0, 0]
-
-    planar = planar_ref[:]
-    bins = bins_ref[:]
-    mse = mse_ref[:]
-    eu, ed, el, er = eu_ref[:], ed_ref[:], el_ref[:], er_ref[:]
-
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (PH, PW), 0)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (PH, PW), 1)
-    flat_iota = row_iota * PW + col_iota
-    big = jnp.int32(PH * PW + 1)
-
-    hrow_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 0)
-    hcol_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 1)
-    hbin_iota = hrow_iota * _LANES + hcol_iota
-
-    # Initial histogram comes precomputed from XLA (one dense one-hot
-    # reduction outside beats a serial distinct-bin loop in here).
-    hist = hist0_ref[:]
-
-    round_map_ref[:] = jnp.full((PH, PW), -1, jnp.int32)
-    sums_ref[:] = jnp.zeros_like(sums_ref)
-    remaining0 = jnp.sum(planar)
-
-    def cond(state):
-        r, remaining, stop, _, _, _ = state
-        return (remaining > 0.0) & jnp.logical_not(stop) & (r < r_max)
-
-    def body(state):
-        r, remaining, _, hist, bins, unassigned = state
-
-        # --- 1. dominant bin (first-max tie-break) ---
-        peak = jnp.max(hist)
-        mf_bin = jnp.min(jnp.where(hist == peak, hbin_iota, jnp.int32(1 << 20)))
-        stop = peak < float(min_candidates)
-
-        # --- 2. seed: min-MSE cell of the dominant bin ---
-        candidates = (bins == mf_bin)
-        seed_mse = jnp.where(candidates, mse, jnp.inf)
-        m = jnp.min(seed_mse)
-        seed_flat = jnp.min(jnp.where(seed_mse == m, flat_iota, big))
-        seed = (flat_iota == seed_flat).astype(f32)
-
-        # --- 3. flood fill (directed reachability) ---
-        def hop(active):
-            grown = (_shift(active, 1, 0) * eu + _shift(active, -1, 0) * ed
-                     + _shift(active, 0, 1) * el + _shift(active, 0, -1) * er)
-            return jnp.maximum(active, jnp.minimum(grown, 1.0) * unassigned)
-
-        def flood_cond(fs):
-            active, prev = fs
-            return jnp.sum(active) > prev
-
-        def flood_body(fs):
-            active, _ = fs
-            prev = jnp.sum(active)
-            for _ in range(8):
-                active = hop(active)
-            return active, prev
-
-        region0 = seed * unassigned
-        region, _ = jax.lax.while_loop(flood_cond, flood_body, (region0, -1.0))
-        region = jnp.where(stop, jnp.zeros_like(region), region)
-        size = jnp.sum(region)
-
-        # --- 4. consume: histogram decrement via distinct-bin extraction ---
-        def dec_cond(ds):
-            _, rem = ds
-            return jnp.sum(rem) > 0.0
-
-        def dec_body(ds):
-            hist, rem = ds
-            sel = jnp.min(jnp.where(rem > 0, flat_iota, big))
-            b = jnp.sum(jnp.where(flat_iota == sel, bins, 0))
-            members = (bins == b) & (rem > 0)
-            cnt = jnp.sum(members.astype(f32))
-            hist = hist - jnp.where(hbin_iota == b, cnt, 0.0)
-            rem = jnp.where(members, 0.0, rem)
-            return hist, rem
-
-        hist, _ = jax.lax.while_loop(dec_cond, dec_body, (hist, region))
-        bins = jnp.where(region > 0, -1, bins)
-        unassigned = unassigned * (1.0 - region)
-        remaining = remaining - size
-
-        # --- 5. region sums (seed counted twice, Chan-combined scatter) ---
-        wgt = region + seed * region
-        n_tot = jnp.sum(wgt) * nr_pts
-        n_safe = jnp.maximum(n_tot, 1.0)
-        sx = jnp.sum(wgt * csx_ref[:])
-        sy = jnp.sum(wgt * csy_ref[:])
-        sz = jnp.sum(wgt * csz_ref[:])
-        mux, muy, muz = sx / n_safe, sy / n_safe, sz / n_safe
-        dx = mx_ref[:] - mux
-        dy = my_ref[:] - muy
-        dz = mz_ref[:] - muz
-        xx = jnp.sum(wgt * (sxx_ref[:] + nr_pts * dx * dx))
-        xy = jnp.sum(wgt * (sxy_ref[:] + nr_pts * dx * dy))
-        xz = jnp.sum(wgt * (sxz_ref[:] + nr_pts * dx * dz))
-        yy = jnp.sum(wgt * (syy_ref[:] + nr_pts * dy * dy))
-        yz = jnp.sum(wgt * (syz_ref[:] + nr_pts * dy * dz))
-        zz = jnp.sum(wgt * (szz_ref[:] + nr_pts * dz * dz))
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-        vals = [n_tot, sx, sy, sz, xx, xy, xz, yy, yz, zz, size]
-        row = jnp.zeros((1, _LANES), f32)
-        for i, v in enumerate(vals):
-            row = row + jnp.where(lane == i, v, 0.0)
-        sums_ref[pl.ds(r, 1), :] = row
-
-        # --- 6. labels ---
-        round_map_ref[:] = jnp.where(region > 0, r, round_map_ref[:])
-
-        return r + 1, remaining, stop, hist, bins, unassigned
-
-    r_fin, *_ = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), remaining0, jnp.bool_(False), hist, bins, planar))
-    nrounds_ref[0, 0] = r_fin
-
-
-def _kernel_batched(nr_pts_ref, hist0_ref, planar_ref, bins_ref, mse_ref,
-                    eu_ref, ed_ref, el_ref, er_ref, csx_ref, csy_ref, csz_ref,
-                    mx_ref, my_ref, mz_ref, sxx_ref, sxy_ref, sxz_ref,
-                    syy_ref, syz_ref, szz_ref,
-                    round_map_ref, sums_ref, nrounds_ref, *,
+def _kernel_batched(hist0_ref, planar_ref, bins_ref, mse_ref,
+                    eu_ref, ed_ref, el_ref, er_ref,
+                    round_map_ref, seeds_ref, nrounds_ref, *,
                     n_frames: int, ph: int, r_max: int, min_candidates: int,
                     k: int):
     """Batched rounds loop: frames stacked along sublanes AND lanes.
@@ -266,20 +123,28 @@ def _kernel_batched(nr_pts_ref, hist0_ref, planar_ref, bins_ref, mse_ref,
     Each sublane band of `ph` rows holds `k` frames side by side along the
     lane axis (k = _pack_factor; 2 for VGA-at-patch-10 grids whose 64-cell
     width would otherwise waste half of every 128-lane vector op). Flood
-    fill / consumption / bins updates run once on the stacked canvas, while
-    tiny per-frame scalar steps (argmax bin, seed argmin, row writes)
-    unroll over static band slices + lane-half masks. Shifts cannot leak
+    fill and consumption run once on the stacked canvas. Shifts cannot leak
     across frames: border edge masks are False in both directions.
+
+    NO per-frame scalar reductions appear in the loop body: a cross-lane
+    reduction that lands in a scalar register costs ~100+ cycles of
+    serialization, and the previous kernel issued ~55 of them per round
+    (dominant cost, measured). Instead every per-frame quantity (dominant
+    bin, verified count, seed id, region size, round counter) is kept as a
+    (B, PW) BROADCAST ROW PLANE — row f holds frame f's value in every lane
+    — computed by native sublane reductions plus log2(PW) lane-roll
+    doubling, entirely in vector registers. The only scalars are the three
+    while-loop conditions (~5 scalar reductions per round total).
     """
     B, PH = n_frames, ph
     NB = B // k
     BPH, PW = planar_ref.shape
     HALF = PW // k
+    R_PAD = seeds_ref.shape[1]
     f32 = jnp.float32
-    nr_pts = nr_pts_ref[0, 0]
 
     planar = planar_ref[:]
-    bins = bins_ref[:]
+    bins0 = bins_ref[:]
     mse = mse_ref[:]
     eu, ed, el, er = eu_ref[:], ed_ref[:], el_ref[:], er_ref[:]
 
@@ -293,84 +158,133 @@ def _kernel_batched(nr_pts_ref, hist0_ref, planar_ref, bins_ref, mse_ref,
     hrow_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 0)
     hcol_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 1)
     hbin_iota = hrow_iota * _LANES + hcol_iota
-    # Stacked-histogram versions: bin index within each frame's 8-row band.
-    hrow_full = jax.lax.broadcasted_iota(jnp.int32, (B * _SUBLANES, _LANES), 0)
-    hcol_full = jax.lax.broadcasted_iota(jnp.int32, (B * _SUBLANES, _LANES), 1)
-    hbin_full = (hrow_full % _SUBLANES) * _LANES + hcol_full
-    hband_masks = [(hrow_full >= f * _SUBLANES) & (hrow_full < (f + 1) * _SUBLANES)
-                   for f in range(B)]
+    lane_rpad = jax.lax.broadcasted_iota(jnp.int32, (B, R_PAD), 1)
 
-    # Per-band lane-half masks ((PH, PW); None when the band is one frame).
-    bcol = jax.lax.broadcasted_iota(jnp.int32, (PH, PW), 1)
+    # Lane-half masks as (1, PW) rows (None when the band is one frame).
+    lrow = jax.lax.broadcasted_iota(jnp.int32, (1, PW), 1)
     if k == 1:
-        half_masks = [None]
+        half_rows = [None]
     else:
-        half_masks = [(bcol >= h * HALF) & (bcol < (h + 1) * HALF)
-                      for h in range(k)]
-
-    def mwhere(h, x, fill):
-        return x if half_masks[h] is None else jnp.where(half_masks[h], x, fill)
-
-    def hsel(vals):
-        """Per-band (PH, PW) plane holding vals[h] on lane-half h."""
-        if k == 1:
-            return jnp.broadcast_to(vals[0], (PH, PW))
-        out = jnp.where(half_masks[0], vals[0], vals[1])
-        for h in range(2, k):
-            out = jnp.where(half_masks[h], vals[h], out)
-        return out
-
-    round_map_ref[:] = jnp.full((BPH, PW), -1, jnp.int32)
-    sums_ref[:] = jnp.zeros_like(sums_ref)
+        half_rows = [(lrow >= h * HALF) & (lrow < (h + 1) * HALF)
+                     for h in range(k)]
 
     def band(x, b):
         return x[b * PH:(b + 1) * PH, :]
 
-    def assemble(parts):
-        """NB per-band (PH, PW) planes -> (BPH, PW) canvas."""
+    def _lroll(x, s):
+        """Circular lane roll by s (static)."""
+        return jnp.concatenate([x[:, -s:], x[:, :-s]], axis=1)
+
+    def lane_reduce(x, jop):
+        """All-lane reduction: every lane ends holding the row reduction."""
+        s = 1
+        while s < PW:
+            x = jop(x, _lroll(x, s))
+            s *= 2
+        return x
+
+    def segreduce(x, jred, jop, ident):
+        """Canvas (BPH, PW) -> (B, PW) rows; row f = frame f's reduction,
+        broadcast to all lanes. jred: sublane reducer (jnp.sum/min/max with
+        axis/keepdims); jop: elementwise combiner; ident: fill value."""
+        rows = jnp.concatenate(
+            [jred(band(x, b), axis=0, keepdims=True) for b in range(NB)],
+            axis=0)                                            # (NB, PW)
+        if k == 1:
+            return lane_reduce(rows, jop)
+        outs = [lane_reduce(jnp.where(half_rows[h], rows, ident), jop)
+                for h in range(k)]                             # k x (NB, PW)
+        parts = []
+        for b in range(NB):
+            for h in range(k):
+                parts.append(outs[h][b:b + 1, :])
+        return jnp.concatenate(parts, axis=0)                  # (B, PW)
+
+    def splat(rows):
+        """(B, PW) broadcast rows -> (BPH, PW) canvas: band b's half h takes
+        frame (b*k+h)'s value."""
+        parts = []
+        for b in range(NB):
+            comb = rows[b * k:b * k + 1, :]
+            for h in range(1, k):
+                comb = jnp.where(half_rows[h], rows[b * k + h:b * k + h + 1, :],
+                                 comb)
+            parts.append(jnp.broadcast_to(comb, (PH, PW)))
         return parts[0] if NB == 1 else jnp.concatenate(parts, axis=0)
 
-    hist = hist0_ref[:]                      # (B*8, 128)
+    round_map_ref[:] = jnp.full((BPH, PW), -1, jnp.int32)
 
-    remaining0 = tuple(
-        jnp.sum(mwhere(f % k, band(planar, f // k), 0.0)) for f in range(B))
-    active0 = tuple(r > 0.0 for r in remaining0)
-    r0 = tuple(jnp.int32(0) for _ in range(B))
+    # Initial exact histogram comes precomputed from XLA (one dense one-hot
+    # reduction outside beats any in-kernel construction); carried per frame
+    # as an (8, 128) register tile so corrections are single-vreg ops.
+    hist0 = tuple(hist0_ref[f * _SUBLANES:(f + 1) * _SUBLANES, :]
+                  for f in range(B))
+
+    seeds0 = jnp.full((B, R_PAD), big, jnp.int32)
+    remaining0 = segreduce(planar, jnp.sum, jnp.add, 0.0)      # (B, PW)
+    # Masks carried across while_loop iterations must be f32 0/1 planes:
+    # Mosaic cannot relayout i1 vectors (or 1-D slices) in loop carries.
+    active0 = (remaining0 > 0.0).astype(f32)
+    g0 = jnp.zeros((B, PW), jnp.int32)
 
     def cond(state):
-        _, _, active, _, _, _ = state
-        alive = active[0]
-        for f in range(1, B):
-            alive = alive | active[f]
-        return alive
+        return jnp.sum(state[2][:, :1]) > 0.0
 
     def body(state):
-        g, remaining, active, hist, bins, unassigned = state
+        g, remaining, active, hist, bins, unassigned, seeds = state
 
-        # --- per-frame: dominant bin + seed (band slices + half masks) ---
-        seeds = []
-        stops = []
-        for f in range(B):
-            b, hf = divmod(f, k)
-            h = hist[f * _SUBLANES:(f + 1) * _SUBLANES, :]
-            peak = jnp.max(h)
-            mf_bin = jnp.min(jnp.where(h == peak, hbin_iota, jnp.int32(1 << 20)))
-            stop_f = peak < float(min_candidates)
-            cand_f = band(bins, b) == mf_bin
-            if half_masks[hf] is not None:
-                cand_f = cand_f & half_masks[hf]
-            smse = jnp.where(cand_f, band(mse, b), jnp.inf)
-            m = jnp.min(smse)
-            seed_flat = jnp.min(jnp.where(smse == m, band(flat_iota, b), big))
-            ok = active[f] & jnp.logical_not(stop_f)
-            seeds.append(jnp.where(ok, seed_flat, big))
-            stops.append(stop_f)
+        # --- 1. per-frame dominant bin, lazily verified (see module doc) ---
+        def sel_cond(ss):
+            done = ss[1]
+            return jnp.sum(1.0 - done[:, :1]) > 0.0
 
-        # Seed plane: per-band assembly of the broadcast seed ids.
-        seed_bc = assemble([hsel(seeds[b * k:(b + 1) * k]) for b in range(NB)])
-        seed = (flat_iota == seed_bc).astype(f32)
+        def sel_body(ss):
+            hist, done, mf, peaks = ss
+            # Stale peak per frame: sublane max of each tile, lane-rolled.
+            peak_all = lane_reduce(jnp.concatenate(
+                [jnp.max(h, axis=0, keepdims=True) for h in hist], axis=0),
+                jnp.maximum)                                   # (B, PW)
+            # First-max bin id per frame.
+            bin_all = lane_reduce(jnp.concatenate(
+                [jnp.min(jnp.where(h == peak_all[f:f + 1, :], hbin_iota,
+                                   jnp.int32(1 << 20)),
+                         axis=0, keepdims=True)
+                 for f, h in enumerate(hist)], axis=0), jnp.minimum)
+            # True live count of the winning bin, for all frames at once.
+            memb = (bins == splat(bin_all)).astype(f32)
+            cnt_all = segreduce(memb, jnp.sum, jnp.add, 0.0)   # (B, PW)
+            ok = cnt_all >= peak_all       # cnt <= peak always; == verifies
+            nh = tuple(
+                jnp.where(done[f:f + 1, :] > 0, h,
+                          jnp.where(hbin_iota == bin_all[f:f + 1, :],
+                                    cnt_all[f:f + 1, :], h))
+                for f, h in enumerate(hist))
+            undone = done <= 0
+            return (nh, jnp.maximum(done, ok.astype(f32)),
+                    jnp.where(undone, bin_all, mf),
+                    jnp.where(undone, cnt_all, peaks))
 
-        # --- shared flood fill over all frames at once ---
+        done0 = 1.0 - active
+        hist, _, mf, peaks = jax.lax.while_loop(
+            sel_cond, sel_body,
+            (hist, done0, jnp.zeros((B, PW), jnp.int32),
+             jnp.zeros((B, PW), f32)))
+
+        stops = peaks < float(min_candidates)
+
+        # --- 2. seed: min-MSE cell of the dominant bin ---
+        mf_splat = splat(mf)
+        cand = bins == mf_splat
+        smse = jnp.where(cand, mse, jnp.inf)
+        m_all = segreduce(smse, jnp.min, jnp.minimum, jnp.inf)
+        seed_flat = segreduce(
+            jnp.where(smse == splat(m_all), flat_iota, big),
+            jnp.min, jnp.minimum, big)                         # (B, PW)
+        ok_rows = (active > 0) & jnp.logical_not(stops)
+        seed_sel = jnp.where(ok_rows, seed_flat, big)
+        seed = (flat_iota == splat(seed_sel)).astype(f32)
+
+        # --- 3. shared flood fill over all frames at once ---
         def hop(a):
             grown = (_shift(a, 1, 0) * eu + _shift(a, -1, 0) * ed
                      + _shift(a, 0, 1) * el + _shift(a, 0, -1) * er)
@@ -389,120 +303,43 @@ def _kernel_batched(nr_pts_ref, hist0_ref, planar_ref, bins_ref, mse_ref,
 
         region, _ = jax.lax.while_loop(flood_cond, flood_body,
                                        (seed * unassigned, -1.0))
+        region_f = region
 
-        # --- shared consumption: histogram decrement, distinct bins ---
-        def dec_cond(ds):
-            _, rem = ds
-            return jnp.sum(rem) > 0.0
-
-        def dec_body(ds):
-            hist, rem = ds
-            sels = []
-            for f in range(B):
-                b, hf = divmod(f, k)
-                rpos = band(rem, b) > 0
-                if half_masks[hf] is not None:
-                    rpos = rpos & half_masks[hf]
-                sels.append(jnp.min(jnp.where(rpos, band(flat_iota, b), big)))
-            sel_bc = assemble([hsel(sels[b * k:(b + 1) * k])
-                               for b in range(NB)])
-            is_sel = (flat_iota == sel_bc) & (rem > 0)
-            hist_delta = jnp.zeros_like(hist)
-            bsel = []
-            for f in range(B):
-                b, hf = divmod(f, k)
-                sel_f = band(is_sel, b)
-                if half_masks[hf] is not None:
-                    sel_f = sel_f & half_masks[hf]
-                b_f = jnp.sum(jnp.where(sel_f, band(bins, b), 0))
-                memb_f = band(bins, b) == b_f
-                if half_masks[hf] is not None:
-                    memb_f = memb_f & half_masks[hf]
-                cnt = jnp.sum(memb_f & (band(rem, b) > 0))
-                hist_delta = hist_delta + jnp.where(
-                    hband_masks[f] & (hbin_full == b_f), cnt.astype(f32), 0.0)
-                bsel.append(memb_f)
-            members = assemble([
-                bsel[b * k] if k == 1 else
-                functools.reduce(jnp.logical_or, bsel[b * k:(b + 1) * k])
-                for b in range(NB)])
-            hist = hist - hist_delta
-            rem = jnp.where(members & (rem > 0), 0.0, rem)
-            return hist, rem
-
-        hist, _ = jax.lax.while_loop(dec_cond, dec_body, (hist, region))
-        bins = jnp.where(region > 0, -1, bins)
+        # --- 4. consume. The histogram stays stale by design EXCEPT the
+        # just-consumed dominant bin: its stale count is the likeliest to
+        # top the next round's argmax, so decrementing it now (exact count,
+        # one canvas pass — the stale >= true invariant is preserved) saves
+        # ~1 verify probe per round.
+        consumed_mf = segreduce(jnp.where(cand, region_f, 0.0),
+                                jnp.sum, jnp.add, 0.0)         # (B, PW)
+        hist = tuple(
+            jnp.where(hbin_iota == mf[ff:ff + 1, :],
+                      jnp.maximum(h - consumed_mf[ff:ff + 1, :], 0.0), h)
+            for ff, h in enumerate(hist))
+        bins = jnp.where(region_f > 0, -1, bins)
         unassigned = unassigned * (1.0 - region)
 
-        # --- per-frame sums + row writes ---
-        wgt = region + seed * region
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-        new_remaining = []
-        new_active = []
-        new_g = []
-        for b in range(NB):
-            w_b = band(wgt, b)
-            reg_b = band(region, b)
-            csx_b, csy_b, csz_b = band(csx_ref[:], b), band(csy_ref[:], b), \
-                band(csz_ref[:], b)
-            # Per-half masked weights; first moments per frame.
-            firsts = []
-            for hf in range(k):
-                w_f = mwhere(hf, w_b, 0.0)
-                size_f = jnp.sum(mwhere(hf, reg_b, 0.0))
-                n_tot = jnp.sum(w_f) * nr_pts
-                n_safe = jnp.maximum(n_tot, 1.0)
-                sx = jnp.sum(w_f * csx_b)
-                sy = jnp.sum(w_f * csy_b)
-                sz = jnp.sum(w_f * csz_b)
-                firsts.append((w_f, size_f, n_tot,
-                               sx, sy, sz, sx / n_safe, sy / n_safe, sz / n_safe))
-            # Shared second-moment terms: mean broadcast over halves, Chan
-            # combination computed once per band for all packed frames.
-            dx = band(mx_ref[:], b) - hsel([fr[6] for fr in firsts])
-            dy = band(my_ref[:], b) - hsel([fr[7] for fr in firsts])
-            dz = band(mz_ref[:], b) - hsel([fr[8] for fr in firsts])
-            xxt = band(sxx_ref[:], b) + nr_pts * dx * dx
-            xyt = band(sxy_ref[:], b) + nr_pts * dx * dy
-            xzt = band(sxz_ref[:], b) + nr_pts * dx * dz
-            yyt = band(syy_ref[:], b) + nr_pts * dy * dy
-            yzt = band(syz_ref[:], b) + nr_pts * dy * dz
-            zzt = band(szz_ref[:], b) + nr_pts * dz * dz
-            for hf in range(k):
-                f = b * k + hf
-                w_f, size_f, n_tot, sx, sy, sz, _, _, _ = firsts[hf]
-                xx = jnp.sum(w_f * xxt)
-                xy = jnp.sum(w_f * xyt)
-                xz = jnp.sum(w_f * xzt)
-                yy = jnp.sum(w_f * yyt)
-                yz = jnp.sum(w_f * yzt)
-                zz = jnp.sum(w_f * zzt)
-                vals = [n_tot, sx, sy, sz, xx, xy, xz, yy, yz, zz, size_f]
-                row = jnp.zeros((1, _LANES), f32)
-                for i, v in enumerate(vals):
-                    row = row + jnp.where(lane == i, v, 0.0)
-                row = jnp.where(active[f], row, jnp.zeros_like(row))
-                idx = f * r_max + jnp.minimum(g[f], r_max - 1)
-                sums_ref[pl.ds(idx, 1), :] = jnp.where(
-                    active[f], row, sums_ref[pl.ds(idx, 1), :])
-                rem_f = remaining[f] - size_f
-                g_next = g[f] + active[f].astype(jnp.int32)
-                new_remaining.append(rem_f)
-                new_active.append(active[f] & jnp.logical_not(stops[f])
-                                  & (rem_f > 0.0) & (g_next < r_max))
-                new_g.append(g_next)
+        # --- 5. bookkeeping + seed recording, all in row planes ---
+        size_all = segreduce(region_f, jnp.sum, jnp.add, 0.0)
+        rem = remaining - size_all
+        g_next = g + active.astype(jnp.int32)
+        act_pad = jnp.broadcast_to(active[:, :1], (B, R_PAD)) > 0
+        seeds = jnp.where(
+            act_pad & (lane_rpad == jnp.broadcast_to(g[:, :1], (B, R_PAD))),
+            jnp.broadcast_to(seed_sel[:, :1], (B, R_PAD)), seeds)
+        new_active = (active * jnp.where(stops, 0.0, 1.0)
+                      * (rem > 0.0).astype(f32)
+                      * (g_next < r_max).astype(f32))
 
-        round_bc = assemble([hsel([g[b * k + h] for h in range(k)])
-                             for b in range(NB)])
-        round_map_ref[:] = jnp.where(region > 0, round_bc, round_map_ref[:])
+        round_map_ref[:] = jnp.where(region_f > 0, splat(g), round_map_ref[:])
 
-        return (tuple(new_g), tuple(new_remaining), tuple(new_active),
-                hist, bins, unassigned)
+        return g_next, rem, new_active, hist, bins, unassigned, seeds
 
-    g_fin, _, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (r0, remaining0, active0, hist, bins, planar))
+    g_fin, _, _, _, _, _, seeds_fin = jax.lax.while_loop(
+        cond, body, (g0, remaining0, active0, hist0, bins0, planar, seeds0))
+    seeds_ref[:] = seeds_fin
     for f in range(B):
-        nrounds_ref[f, 0] = g_fin[f]
+        nrounds_ref[f, 0] = g_fin[f, 0]
 
 
 def grow_rounds_pallas_batched(stats: CellStats, config: Config, *,
@@ -513,7 +350,7 @@ def grow_rounds_pallas_batched(stats: CellStats, config: Config, *,
     jax.vmap(grow_rounds) but ~an order of magnitude cheaper per frame
     (vector ops amortize across the stacked frame bands).
     """
-    from deplex_tpu.ops.growing import RoundData, admissibility_edges
+    from deplex_tpu.ops.growing import RoundData, admissibility_edges, region_sums
     from deplex_tpu.ops.histogram import histogram_counts
 
     B, gh, gw = stats.planar.shape
@@ -522,6 +359,7 @@ def grow_rounds_pallas_batched(stats: CellStats, config: Config, *,
     HALF = PW // K
     NB = B // K
     R_MAX = config.max_region_growing_rounds
+    R_PAD = _round_up(R_MAX, _LANES)
     nb = config.histogram_bins_per_coord
 
     edges = jax.vmap(lambda s: admissibility_edges(s, config))(stats)
@@ -540,8 +378,6 @@ def grow_rounds_pallas_batched(stats: CellStats, config: Config, *,
 
     f = jnp.float32
     inputs = [
-        # nr_pts is P*P, identical across the batch.
-        jnp.reshape(jnp.reshape(stats.nr_pts, (-1,))[0], (1, 1)).astype(f),
         hist0.reshape(B * _SUBLANES, _LANES),
         stack(stats.planar.astype(f), 0.0),
         stack(bins.astype(jnp.int32), -1),
@@ -550,33 +386,20 @@ def grow_rounds_pallas_batched(stats: CellStats, config: Config, *,
         stack(edges["from_down"].astype(f), 0.0),
         stack(edges["from_left"].astype(f), 0.0),
         stack(edges["from_right"].astype(f), 0.0),
-        stack(stats.coord_sum[..., 0].astype(f), 0.0),
-        stack(stats.coord_sum[..., 1].astype(f), 0.0),
-        stack(stats.coord_sum[..., 2].astype(f), 0.0),
-        stack(stats.mean[..., 0].astype(f), 0.0),
-        stack(stats.mean[..., 1].astype(f), 0.0),
-        stack(stats.mean[..., 2].astype(f), 0.0),
-        stack(stats.scatter[..., 0, 0].astype(f), 0.0),
-        stack(stats.scatter[..., 0, 1].astype(f), 0.0),
-        stack(stats.scatter[..., 0, 2].astype(f), 0.0),
-        stack(stats.scatter[..., 1, 1].astype(f), 0.0),
-        stack(stats.scatter[..., 1, 2].astype(f), 0.0),
-        stack(stats.scatter[..., 2, 2].astype(f), 0.0),
     ]
 
     kernel = functools.partial(
         _kernel_batched, n_frames=B, ph=PH, r_max=R_MAX,
         min_candidates=config.min_region_growing_candidate_size, k=K)
 
-    round_map_p, sums, nrounds = pl.pallas_call(
+    round_map_p, seeds, nrounds = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((NB * PH, PW), jnp.int32),
-            jax.ShapeDtypeStruct((B * R_MAX, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, R_PAD), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ),
-        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(inputs) - 1)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -585,82 +408,31 @@ def grow_rounds_pallas_batched(stats: CellStats, config: Config, *,
         interpret=interpret,
     )(*inputs)
 
-    return RoundData(
-        round_map=round_map_p.reshape(NB, PH, K, HALF).swapaxes(1, 2)
-        .reshape(B, PH, HALF)[:, :gh, :gw],
-        sums=sums.reshape(B, R_MAX, _LANES)[:, :, :16],
-        nr_rounds=nrounds[:, 0],
-    )
+    round_map = (round_map_p.reshape(NB, PH, K, HALF).swapaxes(1, 2)
+                 .reshape(B, PH, HALF)[:, :gh, :gw])
+
+    # Kernel seed ids are in padded-canvas coordinates (stride HALF);
+    # convert to cropped-grid flat ids for region_sums (out-of-range ->
+    # sentinel gh*gw, which matches no cell).
+    sf = seeds[:, :R_MAX]
+    sr, sc = sf // HALF, sf % HALF
+    valid = (sr < gh) & (sc < gw)
+    seed_ids = jnp.where(valid, sr * gw + sc, gh * gw).astype(jnp.int32)
+
+    sums = jax.vmap(lambda rm, si, s: region_sums(rm, si, s, R_MAX))(
+        round_map, seed_ids, stats)
+
+    return RoundData(round_map=round_map, sums=sums, nr_rounds=nrounds[:, 0])
 
 
 def grow_rounds_pallas(stats: CellStats, config: Config, *,
                        interpret: bool = False):
-    """Pallas counterpart of growing.grow_rounds; same RoundData contract."""
-    from deplex_tpu.ops.growing import RoundData, admissibility_edges
+    """Pallas counterpart of growing.grow_rounds; same RoundData contract.
 
-    gh, gw = stats.planar.shape
-    PH, PW = _round_up(gh, _SUBLANES), _round_up(gw, _LANES)
-    R_MAX = config.max_region_growing_rounds
-
-    edges = admissibility_edges(stats, config)
-    bins = normal_bins(stats.normal, stats.planar, config.histogram_bins_per_coord)
-
-    from deplex_tpu.ops.histogram import histogram_counts
-
-    nb2 = config.histogram_bins_per_coord ** 2
-    hist0 = jnp.zeros(_SUBLANES * _LANES, jnp.float32).at[:nb2].set(
-        histogram_counts(bins, config.histogram_bins_per_coord).astype(jnp.float32)
-    ).reshape(_SUBLANES, _LANES)
-
-    f = jnp.float32
-    inputs = [
-        jnp.reshape(stats.nr_pts, (1, 1)).astype(f),
-        hist0,
-        _pad_to(stats.planar.astype(f), PH, PW, 0.0),
-        _pad_to(bins.astype(jnp.int32), PH, PW, -1),
-        _pad_to(stats.mse.astype(f), PH, PW, jnp.inf),
-        _pad_to(edges["from_up"].astype(f), PH, PW, 0.0),
-        _pad_to(edges["from_down"].astype(f), PH, PW, 0.0),
-        _pad_to(edges["from_left"].astype(f), PH, PW, 0.0),
-        _pad_to(edges["from_right"].astype(f), PH, PW, 0.0),
-        _pad_to(stats.coord_sum[..., 0].astype(f), PH, PW, 0.0),
-        _pad_to(stats.coord_sum[..., 1].astype(f), PH, PW, 0.0),
-        _pad_to(stats.coord_sum[..., 2].astype(f), PH, PW, 0.0),
-        _pad_to(stats.mean[..., 0].astype(f), PH, PW, 0.0),
-        _pad_to(stats.mean[..., 1].astype(f), PH, PW, 0.0),
-        _pad_to(stats.mean[..., 2].astype(f), PH, PW, 0.0),
-        _pad_to(stats.scatter[..., 0, 0].astype(f), PH, PW, 0.0),
-        _pad_to(stats.scatter[..., 0, 1].astype(f), PH, PW, 0.0),
-        _pad_to(stats.scatter[..., 0, 2].astype(f), PH, PW, 0.0),
-        _pad_to(stats.scatter[..., 1, 1].astype(f), PH, PW, 0.0),
-        _pad_to(stats.scatter[..., 1, 2].astype(f), PH, PW, 0.0),
-        _pad_to(stats.scatter[..., 2, 2].astype(f), PH, PW, 0.0),
-    ]
-
-    kernel = functools.partial(
-        _kernel, r_max=R_MAX,
-        min_candidates=config.min_region_growing_candidate_size,
-        hist_rows=_SUBLANES)
-
-    round_map_p, sums, nrounds = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((PH, PW), jnp.int32),
-            jax.ShapeDtypeStruct((R_MAX, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ),
-        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(inputs) - 1)),
-        # hist0 and the rest are VMEM; only nr_pts is an SMEM scalar.
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        interpret=interpret,
-    )(*inputs)
-
-    # sums rows are (128,) lanes; RoundData wants (R_MAX, 16).
-    return RoundData(round_map=round_map_p[:gh, :gw],
-                     sums=sums[:, :16],
-                     nr_rounds=nrounds[0, 0])
+    Thin B=1 wrap of the batched kernel (identical code path, so the
+    single-frame and batched results are bit-equal by construction).
+    """
+    rd = grow_rounds_pallas_batched(
+        jax.tree.map(lambda a: jnp.asarray(a)[None], stats), config,
+        interpret=interpret)
+    return jax.tree.map(lambda a: a[0], rd)

@@ -3,9 +3,14 @@
 Times each pipeline stage as its own device-side fori_loop (ring of G
 distinct inputs so nothing hoists; outputs folded into the carry so
 nothing elides), matching bench.py's serving protocol. Prints one line
-per stage: name, µs/frame, share of the summed pipeline.
+per stage: name, µs/frame, share of the summed pipeline; with --out it
+also writes the committable JSON artifact (data/golden/stage_bench.json).
+
+The merge stage is timed through pipeline.merge_stage — the same Pallas/XLA
+auto dispatch the product path uses — not the raw XLA loop.
 
 Usage:  timeout 1800 python scripts/stage_bench.py [--repeats 200]
+                [--batch 8] [--out data/golden/stage_bench.json]
 """
 
 import argparse
@@ -70,6 +75,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=200)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--ring", type=int, default=4)
+    ap.add_argument("--out", default=None,
+                    help="write the breakdown as a JSON artifact")
     args = ap.parse_args()
 
     img = DepthImage(str(ROOT / "data" / "tum" / "1341848230.910894.png"))
@@ -88,10 +95,11 @@ def main():
     depth_ring = jnp.asarray(frames.reshape(G, B, H, W))
 
     from deplex_tpu.ops.growing import finalize_rounds
-    from deplex_tpu.ops.merge import merge_planes, rasterize_labels
+    from deplex_tpu.ops.merge import rasterize_labels
     from deplex_tpu.ops.pallas_cellstats import cell_stats_from_depth_pallas
     from deplex_tpu.ops.pallas_growing import grow_rounds_pallas_batched
     from deplex_tpu.parallel.batch import extract_depth_batch
+    from deplex_tpu.pipeline import merge_stage
 
     P = min(cfg.patch_size, min(H, W))
 
@@ -120,14 +128,8 @@ def main():
 
     def merge_raster(args2):
         lm, seg = args2
-        ml, _ = jax.vmap(lambda l, s: merge_planes(l, s, cfg))(lm, seg)
+        ml = jax.vmap(lambda l, s: merge_stage(l, s, cfg))(lm, seg)
         return jax.vmap(lambda l, m: rasterize_labels(l, m, H, W, P))(lm, ml)
-
-    class Pair(tuple):
-        pass
-
-    # merge+rasterize ring: pack (labels_map, segments) as a pytree ring.
-    merged_ring = (labels_map_ring, segments_ring)
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def run_merge(lm_ring, seg_ring, n):
@@ -158,6 +160,24 @@ def main():
     print(f"\nB={B}, {args.repeats} iters, µs/frame (device loop):")
     for name, us in results:
         print(f"  {name:45s} {us:8.1f}  ({us / total * 100:5.1f}% of full)")
+
+    if args.out:
+        import json
+
+        payload = {
+            "protocol": ("device-side fori_loop ring per stage; best-of-3 "
+                         "wall clock / (repeats*batch); merge via "
+                         "pipeline.merge_stage dispatch"),
+            "device": jax.devices()[0].device_kind,
+            "batch": B,
+            "repeats": args.repeats,
+            "us_per_frame": {name: round(us, 2) for name, us in results},
+            "frames_per_s_per_chip": round(1e6 / total, 1),
+        }
+        with open(args.out, "w") as fh:
+            json.dump(payload, fh, indent=2)
+            fh.write("\n")
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
