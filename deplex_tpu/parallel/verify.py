@@ -177,8 +177,13 @@ def main(argv=None) -> int:
         lv = np.stack([value[int(r)] for r in local_kf])
         return jax.make_array_from_process_local_data(sh, lv, value.shape)
 
-    prob = BAProblem(**{f: put(f, np.asarray(getattr(prob_np, f)))
-                        for f in BAProblem._fields})
+    # Optional prior fields (odo_*/cv_w) are None here; np.asarray(None)
+    # is a 0-d object array and a P("data") spec on a 0-d value is an
+    # error — pass None through (None leaves match None in_specs).
+    prob = BAProblem(**{
+        f: (None if getattr(prob_np, f) is None
+            else put(f, np.asarray(getattr(prob_np, f))))
+        for f in BAProblem._fields})
 
     def step(p):
         st = ba_step(p, damping=1e-4, axis_name="data")

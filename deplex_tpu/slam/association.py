@@ -24,8 +24,22 @@ from deplex_tpu.slam.planes import PlaneObs, transform_plane
 
 class AssociationParams(NamedTuple):
     min_cos_angle: float = 0.95      # normal agreement gate
-    max_offset_dist: float = 100.0   # |d_obs - d_pred| gate (depth units, mm)
-    max_point_dist: float = 100.0    # centroid-to-predicted-plane gate (mm)
+    # Distance gates must absorb (tracking drift + plane-fit noise), not
+    # just noise: at 100 mm a ~35 mm pose drift collapsed the match set on
+    # the warped-TUM sequence (23 -> 13 matches) and tracking diverged 4x;
+    # at 200 mm the match set stays intact and the Huber loss in
+    # estimate_pose downweights any misassociation the looser gate admits.
+    max_offset_dist: float = 200.0   # |d_obs - d_pred| gate (depth units, mm)
+    max_point_dist: float = 200.0    # centroid-to-predicted-plane gate (mm)
+    # Landmark-spawn suppression gates — deliberately LOOSER than the match
+    # gates. An observation that barely fails the match gate (cos 0.94,
+    # offset 110 mm) is far likelier to be a drifted/noisy view of an
+    # existing landmark than a new plane; spawning it forks the map, and
+    # duplicated landmarks then compete in the one-to-one association and
+    # drag odometry (measured on the warped-TUM sequence: symmetric gates
+    # spawned 14 duplicates in 2 frames and tracking diverged 4x).
+    dup_cos_angle: float = 0.85      # near-dup normal gate for spawning
+    dup_offset_dist: float = 300.0   # near-dup offset gate for spawning
 
 
 class Matches(NamedTuple):

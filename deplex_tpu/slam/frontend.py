@@ -113,8 +113,8 @@ def slam_step(obs: PlaneObs, map_state: MapState, R_prior: jax.Array,
     # association and odometry.
     dup_cos = jnp.einsum("pi,mi->pm", n_w_obs, fused.normal)
     dup_d = jnp.abs(d_w_obs[:, None] - fused.d[None, :])
-    near_dup = jnp.any((dup_cos >= assoc.min_cos_angle)
-                       & (dup_d <= assoc.max_offset_dist)
+    near_dup = jnp.any((dup_cos >= assoc.dup_cos_angle)
+                       & (dup_d <= assoc.dup_offset_dist)
                        & (fused.weight > 0)[None, :], axis=1)
     unmatched = (usable.weight > 0) & ~matches.valid & ~near_dup
     order = jnp.cumsum(unmatched.astype(jnp.int32)) - 1       # rank per obs

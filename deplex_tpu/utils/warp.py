@@ -77,7 +77,65 @@ def warp_depth(depth: np.ndarray, K: np.ndarray, R: np.ndarray,
         np.add.at(wsum, flat[visible], ws[visible])
         np.add.at(wz, flat[visible], ws[visible] * zs[visible])
     out = np.where(wsum > 0, wz / np.maximum(wsum, 1e-12), 0.0)
-    return out.reshape(H, W).astype(np.float32)
+    out = out.reshape(H, W).astype(np.float32)
+    return _refine_inverse(out, depth, K, R, t, vis_window)
+
+
+def _refine_inverse(z0: np.ndarray, depth: np.ndarray, K: np.ndarray,
+                    R: np.ndarray, t: np.ndarray, vis_window: float,
+                    iterations: int = 3) -> np.ndarray:
+    """Inverse-warp refinement of a forward-splatted depth.
+
+    The splat's weighted mean still averages the within-footprint depth
+    spread (a few mm of bias/noise on slanted surfaces) — enough to bias
+    plane-odometry by tens of mm over a sequence. This pass fixes each
+    valid target pixel by backward mapping: unproject with the current z,
+    move to the source camera, bilinearly sample the SOURCE depth (exact
+    up to within-plane curvature of z, which is sub-mm at these scales),
+    and re-transform; iterate the fixed point (the source pixel position
+    depends on z). Samples whose 4-neighborhood spans a depth jump
+    > vis_window (i.e. an occlusion/object edge) or contains holes keep
+    the splatted value — those land in cells the extractor's
+    discontinuity gates reject anyway.
+    """
+    H, W = z0.shape
+    fx, cx = K[0, 0], K[0, 2]
+    fy, cy = K[1, 1], K[1, 2]
+    Rinv = R.T
+    v, u = np.mgrid[0:H, 0:W].astype(np.float32)
+    zsrc = depth.astype(np.float32)
+    valid0 = z0 > 0
+    z = z0.copy()
+    for _ in range(iterations):
+        x = (u - cx) * z / fx
+        y = (v - cy) * z / fy
+        # Target camera -> world (= source camera frame).
+        pw = np.stack([x, y, z], -1) @ Rinv.T - (Rinv @ t)
+        zs = pw[..., 2]
+        ok = valid0 & (zs > 100)
+        us = np.where(ok, pw[..., 0] / np.maximum(zs, 1e-6) * fx + cx, 0.0)
+        vs = np.where(ok, pw[..., 1] / np.maximum(zs, 1e-6) * fy + cy, 0.0)
+        u0 = np.floor(us).astype(np.int64)
+        v0f = np.floor(vs).astype(np.int64)
+        inb = ok & (u0 >= 0) & (u0 + 1 < W) & (v0f >= 0) & (v0f + 1 < H)
+        u0c = np.clip(u0, 0, W - 2)
+        v0c = np.clip(v0f, 0, H - 2)
+        au = us - u0c
+        av = vs - v0c
+        q00 = zsrc[v0c, u0c]
+        q10 = zsrc[v0c, u0c + 1]
+        q01 = zsrc[v0c + 1, u0c]
+        q11 = zsrc[v0c + 1, u0c + 1]
+        quad = np.stack([q00, q10, q01, q11])
+        flat = inb & (quad.min(0) > 0) & (quad.max(0) - quad.min(0) < vis_window)
+        z_interp = ((1 - au) * (1 - av) * q00 + au * (1 - av) * q10
+                    + (1 - au) * av * q01 + au * av * q11)
+        # Re-transform the sampled source point into the target camera.
+        xs = (us - cx) * z_interp / fx
+        ys = (vs - cy) * z_interp / fy
+        pt = np.stack([xs, ys, z_interp], -1) @ R.T + t
+        z = np.where(flat & (pt[..., 2] > 100), pt[..., 2], z).astype(np.float32)
+    return z
 
 
 def _rodrigues(phi: np.ndarray) -> np.ndarray:

@@ -65,7 +65,8 @@ def test_two_process_agreement(tmp_path):
     # --- BA: dense single-process step vs cross-process Schur reduction --
     from deplex_tpu.slam.ba import BAProblem, ba_step
 
-    prob = BAProblem(*(jnp.asarray(np.asarray(f)) for f in synth_ba_problem(8)))
+    prob = BAProblem(*(None if f is None else jnp.asarray(np.asarray(f))
+                       for f in synth_ba_problem(8)))
     dense = ba_step(prob, damping=1e-4)
     for o in outs:
         # gloo all-reduce order differs from the dense reduction order;
