@@ -26,19 +26,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def eigvals3x3_sym(A: jax.Array) -> jax.Array:
-    """Cardano eigenvalues of symmetric 3x3 matrices, ascending order.
+def _eigvals_soa(a, b, c, d, e, f):
+    """Cardano eigenvalues from the 6 distinct entries, ascending.
 
-    A: (..., 3, 3) symmetric. Returns (..., 3) eigenvalues sorted ascending.
+    SoA core: every operand/intermediate is a batch-major plane (no
+    trailing size-3 axes), so on TPU the whole computation stays in
+    (8, 128)-tiled elementwise fusions. The previous (..., 3, 3) form made
+    XLA lay out intermediates with 3-wide minor dims — (4, 128) tiles with
+    ~40x padding — and the eigensolve alone cost 30+ us/frame of pure
+    relayout traffic (profiled); this form is ~free. The ascending order
+    is an explicit min/mid/max network instead of jnp.sort (a 3-long sort
+    lowered to a real device sort, another profiled hotspot).
+
     Mirrors dsyevc3.c:31-80 (same characteristic-polynomial formulation).
     """
-    a = A[..., 0, 0]
-    b = A[..., 1, 1]
-    c = A[..., 2, 2]
-    d = A[..., 0, 1]
-    e = A[..., 1, 2]
-    f = A[..., 0, 2]
-
     de = d * e
     dd = d * d
     ee = e * e
@@ -57,42 +58,93 @@ def eigvals3x3_sym(A: jax.Array) -> jax.Array:
     cphi = sqrt_p * jnp.cos(phi)
     sphi = (1.0 / jnp.sqrt(3.0)) * sqrt_p * jnp.sin(phi)
 
-    w1 = (1.0 / 3.0) * (m - cphi)
-    w2 = w1 + sphi
-    w0 = w1 + cphi
-    w1 = w1 - sphi
-    w = jnp.stack([w0, w1, w2], axis=-1)
-    return jnp.sort(w, axis=-1)
+    wc = (1.0 / 3.0) * (m - cphi)
+    w0 = wc + cphi
+    w1 = wc - sphi
+    w2 = wc + sphi
+
+    lo = jnp.minimum(jnp.minimum(w0, w1), w2)
+    hi = jnp.maximum(jnp.maximum(w0, w1), w2)
+    mid = (w0 + w1 + w2) - lo - hi
+    return lo, mid, hi
 
 
-def _eigvec_for(A: jax.Array, lam: jax.Array) -> jax.Array:
-    """Eigenvector of symmetric A for eigenvalue lam, batched, robust.
+def _cross_soa(ax, ay, az, bx, by, bz):
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _eigvec_min_soa(a, b, c, d, e, f, lam):
+    """Unit eigenvector for eigenvalue lam, SoA, branch-free.
 
     Takes the largest-norm cross product among the three column pairs of
     M = A - lam*I (all three are parallel to the eigenvector in exact
-    arithmetic; picking the largest is the numerically best-conditioned one —
-    this subsumes the reference's QL fallback, dsyevh3.c:102-118).
+    arithmetic; picking the largest is the numerically best-conditioned one
+    — this subsumes the reference's QL fallback, dsyevh3.c:102-118). The
+    argmax is a pair of elementwise where-selections, not a gather.
     """
-    M = A - lam[..., None, None] * jnp.eye(3, dtype=A.dtype)
-    c0 = M[..., :, 0]
-    c1 = M[..., :, 1]
-    c2 = M[..., :, 2]
-    v01 = jnp.cross(c0, c1)
-    v12 = jnp.cross(c1, c2)
-    v20 = jnp.cross(c2, c0)
-    n01 = jnp.sum(v01 * v01, axis=-1)
-    n12 = jnp.sum(v12 * v12, axis=-1)
-    n20 = jnp.sum(v20 * v20, axis=-1)
-    # Align signs so the three candidates don't cancel if summed; pick argmax.
-    norms = jnp.stack([n01, n12, n20], axis=-1)
-    vecs = jnp.stack([v01, v12, v20], axis=-2)  # (..., 3cand, 3)
-    best = jnp.argmax(norms, axis=-1)
-    v = jnp.take_along_axis(vecs, best[..., None, None], axis=-2)[..., 0, :]
-    nrm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-    # Degenerate (isotropic) matrices: fall back to e_z.
+    # Columns of M = A - lam I (symmetric storage).
+    c0x, c0y, c0z = a - lam, d, f
+    c1x, c1y, c1z = d, b - lam, e
+    c2x, c2y, c2z = f, e, c - lam
+    v01 = _cross_soa(c0x, c0y, c0z, c1x, c1y, c1z)
+    v12 = _cross_soa(c1x, c1y, c1z, c2x, c2y, c2z)
+    v20 = _cross_soa(c2x, c2y, c2z, c0x, c0y, c0z)
+    n01 = v01[0] * v01[0] + v01[1] * v01[1] + v01[2] * v01[2]
+    n12 = v12[0] * v12[0] + v12[1] * v12[1] + v12[2] * v12[2]
+    n20 = v20[0] * v20[0] + v20[1] * v20[1] + v20[2] * v20[2]
+    # First-max tie-break in candidate order (01, 12, 20), matching the
+    # previous argmax-over-stack semantics exactly.
+    use12 = n12 > jnp.maximum(n01, n20)
+    use01 = (~use12) & (n01 >= n20)
+    vx = jnp.where(use12, v12[0], jnp.where(use01, v01[0], v20[0]))
+    vy = jnp.where(use12, v12[1], jnp.where(use01, v01[1], v20[1]))
+    vz = jnp.where(use12, v12[2], jnp.where(use01, v01[2], v20[2]))
+    nrm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
     safe = nrm > 0
-    v = jnp.where(safe, v / jnp.where(safe, nrm, 1.0), jnp.array([0.0, 0.0, 1.0], dtype=A.dtype))
-    return v
+    inv = 1.0 / jnp.where(safe, nrm, 1.0)
+    # Degenerate (isotropic) matrices: fall back to e_z.
+    return (jnp.where(safe, vx * inv, 0.0),
+            jnp.where(safe, vy * inv, 0.0),
+            jnp.where(safe, vz * inv, 1.0))
+
+
+def eigh3x3_min_soa(xx, xy, xz, yy, yz, zz):
+    """Smallest-eigenpair from the 6 distinct entries (batch-major planes).
+
+    Returns ((w0, w1, w2), (vx, vy, vz)) — ascending eigenvalues and the
+    unit eigenvector of w0, all shaped like the inputs. This is the fast
+    layout on TPU; the (..., 3, 3) wrappers below pack/unpack at the
+    boundary only.
+    """
+    scale = jnp.maximum(
+        jnp.maximum(jnp.maximum(jnp.abs(xx), jnp.abs(yy)),
+                    jnp.maximum(jnp.abs(zz), jnp.abs(xy))),
+        jnp.maximum(jnp.abs(yz), jnp.abs(xz)))
+    scale = jnp.where(scale > 0, scale, 1.0)
+    inv = 1.0 / scale
+    a, b, c = xx * inv, yy * inv, zz * inv
+    d, e, f = xy * inv, yz * inv, xz * inv
+    w0, w1, w2 = _eigvals_soa(a, b, c, d, e, f)
+    v = _eigvec_min_soa(a, b, c, d, e, f, w0)
+    return (w0 * scale, w1 * scale, w2 * scale), v
+
+
+def eigvals3x3_sym(A: jax.Array) -> jax.Array:
+    """Cardano eigenvalues of symmetric 3x3 matrices, ascending order.
+
+    A: (..., 3, 3) symmetric. Returns (..., 3) eigenvalues sorted ascending.
+    """
+    lo, mid, hi = _eigvals_soa(A[..., 0, 0], A[..., 1, 1], A[..., 2, 2],
+                               A[..., 0, 1], A[..., 1, 2], A[..., 0, 2])
+    return jnp.stack([lo, mid, hi], axis=-1)
+
+
+def _eigvec_for(A: jax.Array, lam: jax.Array) -> jax.Array:
+    """Eigenvector of symmetric A for eigenvalue lam, batched, robust."""
+    vx, vy, vz = _eigvec_min_soa(A[..., 0, 0], A[..., 1, 1], A[..., 2, 2],
+                                 A[..., 0, 1], A[..., 1, 2], A[..., 0, 2],
+                                 lam)
+    return jnp.stack([vx, vy, vz], axis=-1)
 
 
 def eigh3x3_min(A: jax.Array):
@@ -102,12 +154,10 @@ def eigh3x3_min(A: jax.Array):
     unit eigenvector of w[..., 0].
     Matrices are normalized by max|entry| for float32 conditioning.
     """
-    scale = jnp.max(jnp.abs(A), axis=(-2, -1), keepdims=True)
-    scale = jnp.where(scale > 0, scale, 1.0)
-    As = A / scale
-    w = eigvals3x3_sym(As)
-    v = _eigvec_for(As, w[..., 0])
-    return w * scale[..., 0], v
+    (w0, w1, w2), (vx, vy, vz) = eigh3x3_min_soa(
+        A[..., 0, 0], A[..., 0, 1], A[..., 0, 2],
+        A[..., 1, 1], A[..., 1, 2], A[..., 2, 2])
+    return jnp.stack([w0, w1, w2], axis=-1), jnp.stack([vx, vy, vz], axis=-1)
 
 
 def eigh3x3(A: jax.Array):
