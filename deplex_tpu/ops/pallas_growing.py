@@ -178,10 +178,19 @@ def _kernel_batched(hist0_ref, planar_ref, bins_ref, mse_ref,
     def lane_reduce(x, jop):
         """All-lane reduction: every lane ends holding the row reduction."""
         s = 1
-        while s < PW:
+        while s < x.shape[1]:
             x = jop(x, _lroll(x, s))
             s *= 2
         return x
+
+    def widen(rows):
+        """All-lane (B, 128) histogram-layout rows -> (B, PW) canvas-layout
+        rows. Values are lane-constant, so tiling the 128-lane block is a
+        pure copy; a concat (not a broadcast) keeps Mosaic off the
+        unimplemented both-dims broadcast when a splat() follows."""
+        if rows.shape[1] == PW:
+            return rows
+        return jnp.concatenate([rows] * (PW // rows.shape[1]), axis=1)
 
     def segreduce(x, jred, jop, ident):
         """Canvas (BPH, PW) -> (B, PW) rows; row f = frame f's reduction,
@@ -241,23 +250,28 @@ def _kernel_batched(hist0_ref, planar_ref, bins_ref, mse_ref,
         def sel_body(ss):
             hist, done, mf, peaks = ss
             # Stale peak per frame: sublane max of each tile, lane-rolled.
-            peak_all = lane_reduce(jnp.concatenate(
+            # (Histogram tiles are (8, 128); canvas rows are (B, PW) —
+            # widen() bridges the two when PW > 128.)
+            peak128 = lane_reduce(jnp.concatenate(
                 [jnp.max(h, axis=0, keepdims=True) for h in hist], axis=0),
-                jnp.maximum)                                   # (B, PW)
+                jnp.maximum)                                   # (B, 128)
             # First-max bin id per frame.
-            bin_all = lane_reduce(jnp.concatenate(
-                [jnp.min(jnp.where(h == peak_all[f:f + 1, :], hbin_iota,
+            bin128 = lane_reduce(jnp.concatenate(
+                [jnp.min(jnp.where(h == peak128[f:f + 1, :], hbin_iota,
                                    jnp.int32(1 << 20)),
                          axis=0, keepdims=True)
                  for f, h in enumerate(hist)], axis=0), jnp.minimum)
+            bin_all = widen(bin128)
             # True live count of the winning bin, for all frames at once.
             memb = (bins == splat(bin_all)).astype(f32)
             cnt_all = segreduce(memb, jnp.sum, jnp.add, 0.0)   # (B, PW)
-            ok = cnt_all >= peak_all       # cnt <= peak always; == verifies
+            ok = cnt_all >= widen(peak128)  # cnt <= peak; == verifies
+            cnt128 = (cnt_all[:, :_LANES] if PW > _LANES else cnt_all)
+            done128 = (done[:, :_LANES] if PW > _LANES else done)
             nh = tuple(
-                jnp.where(done[f:f + 1, :] > 0, h,
-                          jnp.where(hbin_iota == bin_all[f:f + 1, :],
-                                    cnt_all[f:f + 1, :], h))
+                jnp.where(done128[f:f + 1, :] > 0, h,
+                          jnp.where(hbin_iota == bin128[f:f + 1, :],
+                                    cnt128[f:f + 1, :], h))
                 for f, h in enumerate(hist))
             undone = done <= 0
             return (nh, jnp.maximum(done, ok.astype(f32)),
@@ -312,9 +326,11 @@ def _kernel_batched(hist0_ref, planar_ref, bins_ref, mse_ref,
         # ~1 verify probe per round.
         consumed_mf = segreduce(jnp.where(cand, region_f, 0.0),
                                 jnp.sum, jnp.add, 0.0)         # (B, PW)
+        cons128 = (consumed_mf[:, :_LANES] if PW > _LANES else consumed_mf)
+        mf128 = (mf[:, :_LANES] if PW > _LANES else mf)
         hist = tuple(
-            jnp.where(hbin_iota == mf[ff:ff + 1, :],
-                      jnp.maximum(h - consumed_mf[ff:ff + 1, :], 0.0), h)
+            jnp.where(hbin_iota == mf128[ff:ff + 1, :],
+                      jnp.maximum(h - cons128[ff:ff + 1, :], 0.0), h)
             for ff, h in enumerate(hist))
         bins = jnp.where(region_f > 0, -1, bins)
         unassigned = unassigned * (1.0 - region)

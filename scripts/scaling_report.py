@@ -120,6 +120,21 @@ def main():
         "repeats": args.repeats,
         "rows": rows,
     }
+    if jax.default_backend() == "cpu":
+        report["caveat"] = (
+            "NOT a hardware-scaling claim: the N 'devices' are "
+            "xla_force_host_platform_device_count fakes sharing ONE CPU "
+            "socket, so adding devices adds zero compute and the "
+            "efficiency column measures host contention plus the fixed "
+            "per-device dispatch overhead. What the artifact validates is "
+            "STRUCTURAL: the sharded serving loop compiles and runs over "
+            "the 'data' mesh with per-device-correct results. The real "
+            "multi-chip scaling argument is that the extraction path "
+            "contains ZERO collectives (each chip computes its own frame "
+            "shard end-to-end; scaling is pure data placement), so "
+            "per-chip throughput is the single-chip number measured in "
+            "bench.py — see BASELINE.md 'Scaling'. Only this environment's "
+            "1-real-chip ceiling prevents measuring it directly.")
     if jax.process_index() == 0:
         print(json.dumps({"report": rows}))
         if args.out:

@@ -57,6 +57,7 @@ def synthetic_cloud(H, W, seed=0):
 def time_fn(fn, pts, repeats):
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def run(p, n):
@@ -67,13 +68,17 @@ def time_fn(fn, pts, repeats):
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    run(pts, repeats).block_until_ready()
-    best = float("inf")
-    for _ in range(3):
+    # np.asarray inside the timed region forces the device->host fetch of
+    # the scalar: on the tunneled backend block_until_ready alone has been
+    # observed to return before execution completes. Median of 5, not min:
+    # the minimum keeps any racy early return.
+    float(np.asarray(run(pts, repeats)))
+    times = []
+    for _ in range(5):
         t0 = time.perf_counter()
-        run(pts, repeats).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    return best / repeats * 1e6
+        float(np.asarray(run(pts, repeats)))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / repeats * 1e6
 
 
 def main():
