@@ -250,10 +250,14 @@ class TestCheckpoint:
         assert int(np.asarray(restored["map"].count)) == 3
 
 
+@pytest.mark.heavy
 class TestMotionPriors:
     """Odometry + constant-velocity priors (ba.BAProblem odo_*/cv_w): the
     fix for plane-null pose directions. Two axis-aligned wall planes leave
-    z-translation completely unobservable; priors must pin it."""
+    z-translation completely unobservable; priors must pin it.
+
+    Marked heavy (compile-bound: 4 BA jit signatures); runs once per CI
+    matrix via the dedicated heavy job."""
 
     def _underconstrained_problem(self, jitter_z):
         """K poses on a constant-velocity line, observing ONLY x/y walls.

@@ -48,6 +48,7 @@ def test_tracking_locks_on(tracked_slam):
     assert _ate(slam.trajectory, gt) < 300.0
 
 
+@pytest.mark.heavy
 def test_ba_refine_runs_and_stays_sane(tracked_slam):
     slam, gt = tracked_slam
     before = _ate(slam.trajectory, gt)
