@@ -73,8 +73,23 @@ def _fit_3pt_plane(p0, p1, p2):
 
 
 def refine_labels(points: jax.Array, labels: jax.Array, config: Config,
-                  key: jax.Array | None = None) -> jax.Array:
-    """points: (N, 3), labels: (N,) int32 -> refined labels."""
+                  key: jax.Array | None = None, *,
+                  cell_labels: jax.Array | None = None,
+                  image_width: int | None = None,
+                  patch_size: int | None = None) -> jax.Array:
+    """points: (N, 3), labels: (N,) int32 -> refined labels.
+
+    cell_labels (optional, with image_width + patch_size): the (gh, gw)
+    final per-cell plane ids. Stage 5 rasterizes whole cells
+    (merge.rasterize_labels), so before refinement every pixel of plane p
+    lies in a cell wholly labeled p — sampling a uniform plane pixel is
+    EXACTLY sampling (uniform plane cell, uniform in-cell pixel). The
+    pipeline passes the cell map so the per-plane sample gather runs over
+    the ~3k-cell grid; without it (standalone callers with arbitrary pixel
+    labels) the grouping falls back to an argsort of all N pixels — a
+    300k-element sort, the kind of op this repo avoids on the hot path
+    (see histogram.py / merge.py notes on serializing patterns).
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     N = points.shape[0]
@@ -83,31 +98,62 @@ def refine_labels(points: jax.Array, labels: jax.Array, config: Config,
     thr = jnp.float32(config.ransac_threshold)
 
     pts = points.astype(jnp.float32)
-
-    # Group pixel ids by label so per-plane sampling is a gather:
-    # stable sort puts plane-p pixels at [offset[p], offset[p] + count[p]).
-    order = jnp.argsort(labels, stable=True)
-    sorted_labels = labels[order]
-    counts = jnp.zeros(MAXP + 1, jnp.int32).at[jnp.clip(labels, 0, MAXP)].add(1)
-    offsets = jnp.cumsum(counts) - counts  # start of each label block
-
     plane_ids = jnp.arange(1, MAXP + 1)
     keys = jax.random.split(key, MAXP)
 
-    def per_plane(p, k):
-        cnt = counts[p]
-        off = offsets[p]
-        # 3 sample indices per hypothesis; collisions de-duplicated by shift
-        # (the reference insists on distinct indices via std::set,
-        # RANSAC.hpp:87-90).
-        u = jax.random.randint(k, (K, 3), 0, jnp.maximum(cnt, 1))
-        u1 = u[:, 1] + (u[:, 1] == u[:, 0])
-        u2 = u[:, 2] + (u[:, 2] == u[:, 0]) + (u[:, 2] == u1)
-        idx = jnp.stack([u[:, 0], u1 % jnp.maximum(cnt, 1), u2 % jnp.maximum(cnt, 1)], 1)
-        pix = order[jnp.clip(off + idx, 0, N - 1)]          # (K, 3) pixel ids
-        tri = pts[pix]                                      # (K, 3, 3)
-        n, d = _fit_3pt_plane(tri[:, 0], tri[:, 1], tri[:, 2])
-        return n, d
+    if cell_labels is not None:
+        # --- cell-grid sampling (hot path) ---
+        gh, gw = cell_labels.shape
+        P = patch_size
+        W = image_width
+        PP = P * P
+        G = gh * gw
+        cl = cell_labels.reshape(-1)
+        cell_order = jnp.argsort(cl, stable=True)
+        sorted_cl = cl[cell_order]
+        bounds = jnp.searchsorted(sorted_cl, jnp.arange(MAXP + 2))
+        ccounts = jnp.diff(bounds)
+        coffsets = bounds[:-1]
+
+        def per_plane(p, k):
+            cnt = ccounts[p] * PP               # pixels in plane p
+            # 3 sample indices per hypothesis; collisions de-duplicated by
+            # shift (the reference insists on distinct indices via std::set,
+            # RANSAC.hpp:87-90).
+            u = jax.random.randint(k, (K, 3), 0, jnp.maximum(cnt, 1))
+            u1 = u[:, 1] + (u[:, 1] == u[:, 0])
+            u2 = u[:, 2] + (u[:, 2] == u[:, 0]) + (u[:, 2] == u1)
+            idx = jnp.stack([u[:, 0], u1 % jnp.maximum(cnt, 1),
+                             u2 % jnp.maximum(cnt, 1)], 1)   # (K, 3)
+            crank, t = idx // PP, idx % PP
+            cell = cell_order[jnp.clip(coffsets[p] + crank, 0, G - 1)]
+            ci, cj = cell // gw, cell % gw
+            pix = (ci * P + t // P) * W + (cj * P + t % P)
+            tri = pts[pix]                                   # (K, 3, 3)
+            n, d = _fit_3pt_plane(tri[:, 0], tri[:, 1], tri[:, 2])
+            return n, d
+    else:
+        # --- pixel-level fallback: stable sort puts plane-p pixels at
+        # [offset[p], offset[p] + count[p]); per-label counts come from
+        # binary searches on the sorted vector (no duplicate-index scatter).
+        order = jnp.argsort(labels, stable=True)
+        sorted_labels = labels[order]
+        bounds = jnp.searchsorted(sorted_labels, jnp.arange(MAXP + 2))
+        counts = jnp.diff(bounds)
+        offsets = bounds[:-1]
+
+        def per_plane(p, k):
+            cnt = counts[p]
+            off = offsets[p]
+            u = jax.random.randint(k, (K, 3), 0, jnp.maximum(cnt, 1))
+            u1 = u[:, 1] + (u[:, 1] == u[:, 0])
+            u2 = u[:, 2] + (u[:, 2] == u[:, 0]) + (u[:, 2] == u1)
+            idx = jnp.stack([u[:, 0], u1 % jnp.maximum(cnt, 1),
+                             u2 % jnp.maximum(cnt, 1)], 1)
+            pix = order[jnp.clip(off + idx, 0, N - 1)]      # (K, 3) pixel ids
+            tri = pts[pix]                                  # (K, 3, 3)
+            n, d = _fit_3pt_plane(tri[:, 0], tri[:, 1], tri[:, 2])
+            return n, d
 
     ratio = jnp.float32(config.ransac_inliers_ratio)
 

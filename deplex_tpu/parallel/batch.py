@@ -54,8 +54,23 @@ def _labels_from_stats_batch(stats, H: int, W: int, config: Config):
     else:
         merge_labels, _ = jax.vmap(lambda lm, sg: merge_planes(lm, sg, config))(
             labels_map, segments)
-    return jax.vmap(
+    labels = jax.vmap(
         lambda lm, ml: rasterize_labels(lm, ml, H, W, P))(labels_map, merge_labels)
+    if not config.ransac_refinement:
+        return labels, None
+    from deplex_tpu.ops.merge import apply_label_lut
+    cell_lab = jax.vmap(apply_label_lut)(labels_map, merge_labels)
+    return labels, cell_lab
+
+
+def _refine_batch(points, labels, cell_lab, H: int, W: int, config: Config):
+    """Batched stage 6: cell-grid RANSAC sampling (ops/ransac.py)."""
+    from deplex_tpu.ops.ransac import refine_labels
+
+    P = min(config.patch_size, min(H, W))
+    return jax.vmap(lambda p, l, cl: refine_labels(
+        p, l, config, cell_labels=cl, image_width=W, patch_size=P))(
+            points, labels, cell_lab)
 
 
 @functools.partial(jax.jit, static_argnames=("image_height", "image_width", "config"))
@@ -70,10 +85,9 @@ def extract_planes_batch_jit(points, *, image_height: int, image_width: int, con
 
     H, W = image_height, image_width
     stats = jax.vmap(lambda p: compute_cell_stats(p, H, W, config))(points)
-    labels = _labels_from_stats_batch(stats, H, W, config)
+    labels, cell_lab = _labels_from_stats_batch(stats, H, W, config)
     if config.ransac_refinement:
-        from deplex_tpu.ops.ransac import refine_labels
-        labels = jax.vmap(lambda p, l: refine_labels(p, l, config))(points, labels)
+        labels = _refine_batch(points, labels, cell_lab, H, W, config)
     return labels
 
 
@@ -101,14 +115,12 @@ def extract_depth_batch(depth_batch, intrinsics, config: Config):
         stats = jax.vmap(
             lambda p: compute_cell_stats(p, H, W, config))(pts)
 
-    labels = _labels_from_stats_batch(stats, H, W, config)
+    labels, cell_lab = _labels_from_stats_batch(stats, H, W, config)
     if config.ransac_refinement:
-        from deplex_tpu.ops.ransac import refine_labels
-
         if pts is None:
             pts = jax.vmap(
                 lambda d: backproject_device(d, intrinsics))(depth_batch)
-        labels = jax.vmap(lambda p, l: refine_labels(p, l, config))(pts, labels)
+        labels = _refine_batch(pts, labels, cell_lab, H, W, config)
     return labels
 
 

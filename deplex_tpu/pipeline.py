@@ -62,8 +62,12 @@ def extract_planes(points: jax.Array, *, image_height: int, image_width: int,
     labels = rasterize_labels(labels_map, merge_labels, image_height, image_width, P)
 
     if config.ransac_refinement:
+        from deplex_tpu.ops.merge import apply_label_lut
         from deplex_tpu.ops.ransac import refine_labels
-        labels = refine_labels(points, labels, config)
+        labels = refine_labels(
+            points, labels, config,
+            cell_labels=apply_label_lut(labels_map, merge_labels),
+            image_width=image_width, patch_size=P)
     return labels
 
 

@@ -89,9 +89,12 @@ def stage_timings(points, image_height: int, image_width: int,
     timeit("merge", s3, lm, seg)
     timeit("labels", s4, lm, ml)
     if cfg.ransac_refinement:
+        from deplex_tpu.ops.merge import apply_label_lut
         from deplex_tpu.ops.ransac import refine_labels
 
-        s5 = jax.jit(functools.partial(refine_labels, config=cfg))
-        jax.block_until_ready(s5(pts, labels))
-        timeit("refinement", s5, pts, labels)
+        s5 = jax.jit(lambda p, l, cl: refine_labels(
+            p, l, cfg, cell_labels=cl, image_width=W, patch_size=P))
+        cell_lab = apply_label_lut(lm, ml)
+        jax.block_until_ready(s5(pts, labels, cell_lab))
+        timeit("refinement", s5, pts, labels, cell_lab)
     return out

@@ -335,10 +335,16 @@ def ba_step(problem: BAProblem, *, damping: float = 1e-4,
     return BAState(R=R_new, t=t_new, eta=eta_new, cost=cost)
 
 
-def ba_cost(problem: BAProblem) -> jax.Array:
+def ba_cost(problem: BAProblem, *, axis_name: str | None = None) -> jax.Array:
     """Total robust cost at the current state (Huber on observations, plus
     the motion-prior quadratic when present) — the objective whose IRLS
-    weights the GN step uses, so LM accept/reject is consistent with it."""
+    weights the GN step uses, so LM accept/reject is consistent with it.
+
+    axis_name: as in ba_step — running inside shard_map with the keyframe
+    axis sharded. The per-observation cost is summed locally then psum'd;
+    the motion-prior chains cross shard boundaries, so poses are gathered
+    and the (replicated, identical-on-every-device) prior cost added once.
+    """
     M = problem.eta.shape[0]
     delta = jnp.float32(HUBER_DELTA)
 
@@ -353,14 +359,48 @@ def ba_cost(problem: BAProblem) -> jax.Array:
     cost = jnp.sum(jax.vmap(per_frame)(
         problem.R, problem.t, problem.obs_normal, problem.obs_d,
         problem.obs_lm, problem.obs_w))
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
+    if problem.odo_R is not None or problem.cv_w is not None:
+        if axis_name is not None:
+            R_all = jax.lax.all_gather(problem.R, axis_name, axis=0, tiled=True)
+            t_all = jax.lax.all_gather(problem.t, axis_name, axis=0, tiled=True)
+        else:
+            R_all, t_all = problem.R, problem.t
     if problem.odo_R is not None:
-        *_, odo_cost = _odo_blocks(problem.R, problem.t, problem.odo_R,
+        *_, odo_cost = _odo_blocks(R_all, t_all, problem.odo_R,
                                    problem.odo_t, problem.odo_w)
         cost = cost + odo_cost
     if problem.cv_w is not None:
-        *_, cv_cost = _cv_blocks(problem.R, problem.t, problem.cv_w)
+        *_, cv_cost = _cv_blocks(R_all, t_all, problem.cv_w)
         cost = cost + cv_cost
     return cost
+
+
+def _lm_loop(problem: BAProblem, iterations: int, damping: float,
+             axis_name: str | None) -> BAState:
+    """The Levenberg-Marquardt accept/reject loop, per-device body.
+
+    With axis_name set this runs INSIDE shard_map: ba_step/ba_cost psum
+    their global reductions, so new_cost (and hence the accept decision and
+    the damping schedule) is identical on every device — the loop stays in
+    lockstep without any extra synchronization."""
+
+    def body(_, carry):
+        prob, lam, cost = carry
+        cand = ba_step(prob, damping=lam, axis_name=axis_name)
+        cand_prob = prob._replace(R=cand.R, t=cand.t, eta=cand.eta)
+        new_cost = ba_cost(cand_prob, axis_name=axis_name)
+        accept = new_cost < cost
+        prob = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), cand_prob, prob)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-8), lam * 10.0)
+        return prob, lam, jnp.where(accept, new_cost, cost)
+
+    init = (problem, jnp.float32(damping),
+            ba_cost(problem, axis_name=axis_name))
+    final, _, cost = jax.lax.fori_loop(0, iterations, body, init)
+    return BAState(R=final.R, t=final.t, eta=final.eta, cost=cost)
 
 
 def run_ba(problem: BAProblem, *, iterations: int = 10, damping: float = 1e-4):
@@ -373,18 +413,100 @@ def run_ba(problem: BAProblem, *, iterations: int = 10, damping: float = 1e-4):
     (weak fragment landmarks, near-degenerate observation geometry); the
     reject path makes the iteration monotone in cost, which is what an
     always-on SLAM backend needs. Runs as one jitted fori_loop."""
+    return _lm_loop(problem, iterations, damping, None)
 
-    def body(_, carry):
-        prob, lam, cost = carry
-        cand = ba_step(prob, damping=lam)
-        cand_prob = prob._replace(R=cand.R, t=cand.t, eta=cand.eta)
-        new_cost = ba_cost(cand_prob)
-        accept = new_cost < cost
-        prob = jax.tree.map(
-            lambda a, b: jnp.where(accept, a, b), cand_prob, prob)
-        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-8), lam * 10.0)
-        return prob, lam, jnp.where(accept, new_cost, cost)
 
-    init = (problem, jnp.float32(damping), ba_cost(problem))
-    final, _, cost = jax.lax.fori_loop(0, iterations, body, init)
-    return BAState(R=final.R, t=final.t, eta=final.eta, cost=cost)
+def pad_problem_keyframes(problem: BAProblem, K_pad: int) -> BAProblem:
+    """Pad the keyframe axis to K_pad with inert keyframes.
+
+    Padded poses are identity with zero-weight observations; padded
+    motion-prior edges/triples get weight 0, so they contribute nothing to
+    any residual, Jacobian, or cost — only the damping term touches their
+    Schur diagonal (keeping it invertible, step exactly 0). Used so the
+    keyframe axis divides the mesh in run_ba_sharded."""
+    K = problem.obs_d.shape[0]
+    if K_pad == K:
+        return problem
+    if K_pad < K:
+        raise ValueError(f"K_pad {K_pad} < K {K}")
+    pk = K_pad - K
+    P = problem.obs_d.shape[1]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=problem.R.dtype), (pk, 3, 3))
+    out = problem._replace(
+        R=jnp.concatenate([problem.R, eye]),
+        t=jnp.concatenate([problem.t, jnp.zeros((pk, 3), problem.t.dtype)]),
+        obs_normal=jnp.concatenate(
+            [problem.obs_normal, jnp.zeros((pk, P, 3), problem.obs_normal.dtype)]),
+        obs_d=jnp.concatenate(
+            [problem.obs_d, jnp.zeros((pk, P), problem.obs_d.dtype)]),
+        obs_lm=jnp.concatenate(
+            [problem.obs_lm, jnp.zeros((pk, P), problem.obs_lm.dtype)]),
+        obs_w=jnp.concatenate(
+            [problem.obs_w, jnp.zeros((pk, P), problem.obs_w.dtype)]))
+    if problem.odo_R is not None:
+        odo_eye = jnp.broadcast_to(jnp.eye(3, dtype=problem.odo_R.dtype),
+                                   (pk, 3, 3))
+        out = out._replace(
+            odo_R=jnp.concatenate([problem.odo_R, odo_eye]),
+            odo_t=jnp.concatenate(
+                [problem.odo_t, jnp.zeros((pk, 3), problem.odo_t.dtype)]),
+            odo_w=jnp.concatenate(
+                [problem.odo_w, jnp.zeros(pk, problem.odo_w.dtype)]))
+    if problem.cv_w is not None:
+        out = out._replace(cv_w=jnp.concatenate(
+            [problem.cv_w, jnp.zeros(pk, problem.cv_w.dtype)]))
+    return out
+
+
+def run_ba_sharded(problem: BAProblem, mesh=None, *, axis: str = "kf",
+                   iterations: int = 10, damping: float = 1e-4) -> BAState:
+    """run_ba with the KEYFRAME axis sharded over a device mesh.
+
+    The full LM accept/reject loop executes under shard_map: each device
+    holds K/n keyframes' observations and does that shard's Jacobian /
+    outer-product work; Schur blocks combine with psum/all_gather over ICI
+    (ba_step), and the psum'd cost keeps the damping schedule in lockstep
+    (_lm_loop). Landmarks (eta) and the motion-prior chains are replicated
+    — they are O(M + K) small; the per-observation work is the O(K*P)
+    expensive part. The keyframe axis is padded to a multiple of the mesh
+    size with inert keyframes (pad_problem_keyframes) and the result is
+    sliced back, so any K works on any mesh.
+
+    mesh=None builds a 1-D mesh over all visible devices. Semantics match
+    run_ba to GN accuracy (collective reduction order differs from the
+    dense sum, so agreement is not bitwise) — asserted driver-level in
+    tests/test_slam_frontend.py and structurally in __graft_entry__.
+    """
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), axis_names=(axis,))
+    n = mesh.shape[axis]
+    K = problem.obs_d.shape[0]
+    Kp = ((K + n - 1) // n) * n
+    prob = pad_problem_keyframes(problem, Kp)
+
+    kf = P(axis)
+    rep = P()
+    # None fields must stay None in the spec tree (empty pytree subtrees).
+    in_spec = BAProblem(
+        R=kf, t=kf, eta=rep, obs_normal=kf, obs_d=kf, obs_lm=kf, obs_w=kf,
+        odo_R=None if prob.odo_R is None else rep,
+        odo_t=None if prob.odo_t is None else rep,
+        odo_w=None if prob.odo_w is None else rep,
+        cv_w=None if prob.cv_w is None else rep)
+    out_spec = BAState(R=kf, t=kf, eta=rep, cost=rep)
+
+    fn = jax.jit(shard_map(
+        lambda p: _lm_loop(p, iterations, damping, axis),
+        mesh=mesh, in_specs=(in_spec,), out_specs=out_spec,
+        # Scan carries start replicated and become device-varying; psum /
+        # all_gather placement is validated by the agreement tests instead.
+        check_vma=False))
+    # Place inputs to match the specs (avoids a resharding copy per call).
+    prob = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), prob, in_spec)
+    out = fn(prob)
+    return BAState(R=out.R[:K], t=out.t[:K], eta=out.eta, cost=out.cost)

@@ -443,14 +443,26 @@ class PlaneSlam:
         }
 
     def refine(self, iterations: int = 10, damping: float = 1e-4,
-               odo_weight: float = 3.0, cv_weight: float = 10000.0):
-        """Run windowed BA over all keyframes; updates trajectory + map."""
-        from deplex_tpu.slam.ba import run_ba
+               odo_weight: float = 3.0, cv_weight: float = 10000.0,
+               mesh=None):
+        """Run windowed BA over all keyframes; updates trajectory + map.
+
+        The product path is DISTRIBUTED by default: whenever more than one
+        device is visible (or a mesh is passed), the LM loop runs keyframe-
+        sharded over the mesh (ba.run_ba_sharded — Schur blocks psum'd over
+        ICI); on a single device it is the identical dense loop. Pass
+        mesh=False to force the single-device path.
+        """
+        from deplex_tpu.slam.ba import run_ba, run_ba_sharded
         from deplex_tpu.slam.planes import from_cp
 
-        out = run_ba(self.build_ba_problem(odo_weight=odo_weight,
-                                           cv_weight=cv_weight),
-                     iterations=iterations, damping=damping)
+        problem = self.build_ba_problem(odo_weight=odo_weight,
+                                        cv_weight=cv_weight)
+        if mesh is not False and (mesh is not None or jax.device_count() > 1):
+            out = run_ba_sharded(problem, mesh if mesh is not None else None,
+                                 iterations=iterations, damping=damping)
+        else:
+            out = run_ba(problem, iterations=iterations, damping=damping)
         self.trajectory = [(np.asarray(out.R[i]), np.asarray(out.t[i]))
                            for i in range(out.R.shape[0])]
         n, d = from_cp(out.eta)

@@ -58,6 +58,52 @@ def test_ba_refine_runs_and_stays_sane(tracked_slam):
     assert after < before * 1.5  # must not blow up; usually improves
 
 
+def _restore(slam, snap):
+    import jax.numpy as jnp
+
+    from deplex_tpu.slam.frontend import MapState
+
+    slam.map = MapState(*(jnp.asarray(x) for x in snap["map"]))
+    slam.R = jnp.asarray(snap["R"])
+    slam.t = jnp.asarray(snap["t"])
+    K = snap["traj_R"].shape[0]
+    slam.trajectory = [(snap["traj_R"][i].copy(), snap["traj_t"][i].copy())
+                       for i in range(K)]
+    slam._keyframes = [tuple(snap[f"kf_{n}"][i].copy()
+                             for n in ("normal", "d", "weight", "lm"))
+                       for i in range(K)]
+
+
+def test_refine_sharded_is_the_product_path(tracked_slam):
+    """Driver-level multi-device agreement (VERDICT r4 item 1): the DEFAULT
+    PlaneSlam.refine() on a multi-device runtime runs the keyframe-sharded
+    LM loop (ba.run_ba_sharded over the 8-device test mesh) and must match
+    the single-device refine to GN accuracy."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs a multi-device runtime")
+    slam, gt = tracked_slam
+    snap = slam._snapshot_state()
+
+    slam.refine(iterations=6, mesh=False)          # forced single-device
+    traj_dense = [(R.copy(), t.copy()) for R, t in slam.trajectory]
+    ate_dense = _ate(traj_dense, gt)
+
+    _restore(slam, snap)
+    slam.refine(iterations=6)                      # default → sharded path
+    traj_shard = [(R.copy(), t.copy()) for R, t in slam.trajectory]
+    ate_shard = _ate(traj_shard, gt)
+    _restore(slam, snap)
+
+    # Collective reduction order differs from the dense sum, so agreement is
+    # GN-accuracy, not bitwise.
+    for (R1, t1), (R2, t2) in zip(traj_dense, traj_shard):
+        np.testing.assert_allclose(R1, R2, atol=2e-3)
+        np.testing.assert_allclose(t1, t2, atol=5.0)  # mm; scene spans ~4000
+    assert abs(ate_shard - ate_dense) < max(5.0, 0.1 * ate_dense)
+
+
 def test_pose_graph_builds_and_optimizes(tracked_slam):
     slam, gt = tracked_slam
     g = slam.build_pose_graph(min_shared=3)
