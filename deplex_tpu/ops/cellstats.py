@@ -59,6 +59,22 @@ def matmul_band_split(gh: int, cell_height: int, cell_width: int) -> int | None:
     return None
 
 
+def moments_band_plan(gh: int, patch: int, cell_width: int):
+    """(gh_pad, S) for the anchored MXU moment reduction, or None.
+
+    Grids whose row count has no sublane-aligned band split (720p@P8:
+    gh=90 — no divisor s leaves (90/s) % 8 == 0) are PADDED with zero cell
+    rows up to the nearest gh_pad that splits; padded rows hold z=0 pixels,
+    produce all-zero moments, and are cropped before the gates, so the
+    real cells' arithmetic is unchanged. Both the Pallas kernel and the
+    XLA mirror use this same plan (bit-equality requirement)."""
+    for gh_pad in range(gh, gh + 65):
+        S = matmul_band_split(gh_pad, gh_pad * patch, cell_width)
+        if S is not None:
+            return gh_pad, S
+    return None
+
+
 class CellStats(NamedTuple):
     """Per-cell quantities, all shaped (gh, gw, ...)."""
 
@@ -180,12 +196,19 @@ def compute_cell_stats(points: jax.Array, image_height: int, image_width: int,
     continuous = (disc_h < max_disc) & (disc_v < max_disc)
 
     # --- PCA plane fit over ALL P*P points (zeros included) ---
-    S = matmul_band_split(gh, gh * P, gw * P)
-    if S is not None:
+    plan = moments_band_plan(gh, P, gw * P)
+    if plan is not None:
         # MXU segment-matmul moments with first-pixel anchoring — the same
         # tiling/order as the fused Pallas kernel (bit-equal to it), and
         # ~100x less λ_min rounding noise than the plain centered sums.
-        coord_sum, scatter = _moments_matmul(x_img, y_img, z_img, P, gh, gw, S)
+        gh_pad, S = plan
+        if gh_pad != gh:
+            pad = ((0, (gh_pad - gh) * P), (0, 0))
+            xi, yi, zi = (jnp.pad(a, pad) for a in (x_img, y_img, z_img))
+        else:
+            xi, yi, zi = x_img, y_img, z_img
+        coord_sum, scatter = _moments_matmul(xi, yi, zi, P, gh_pad, gw, S)
+        coord_sum, scatter = coord_sum[:gh], scatter[:gh]
     else:
         # Small/odd grids (tiny frames): plain block reductions.
         sx, sy, sz = blocks(x_img), blocks(y_img), blocks(z_img)

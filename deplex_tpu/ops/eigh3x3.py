@@ -65,7 +65,11 @@ def _eigvals_soa(a, b, c, d, e, f):
 
     lo = jnp.minimum(jnp.minimum(w0, w1), w2)
     hi = jnp.maximum(jnp.maximum(w0, w1), w2)
-    mid = (w0 + w1 + w2) - lo - hi
+    # Median via a min/max swap network: returns one of the three computed
+    # roots EXACTLY (a sum-minus-extremes form can be off by ulps and even
+    # land outside [lo, hi] — ADVICE r4), still sort/gather-free.
+    mid = jnp.maximum(jnp.minimum(w0, w1),
+                      jnp.minimum(jnp.maximum(w0, w1), w2))
     return lo, mid, hi
 
 

@@ -114,8 +114,11 @@ def region_sums(round_map: jax.Array, seed_flat: jax.Array, stats: CellStats,
     rm = round_map.reshape(N)
     rids = jnp.arange(r_max, dtype=jnp.int32)
     onehot = rm[None, :] == rids[:, None]                      # (R, N)
-    seed_w = (seed_flat[:, None] == jnp.arange(N, dtype=jnp.int32)[None, :]) & onehot
-    w = onehot.astype(f32) + seed_w.astype(f32)
+    # Seed double-weight fused into the one (R, N) f32 operand the matmuls
+    # need anyway (values exactly 0/1/2 — bit-identical to materializing a
+    # separate seed matrix and adding; ADVICE r4 HBM-traffic note).
+    is_seed = seed_flat[:, None] == jnp.arange(N, dtype=jnp.int32)[None, :]
+    w = jnp.where(onehot, jnp.where(is_seed, f32(2.0), f32(1.0)), f32(0.0))
     size = jnp.sum(onehot, axis=1).astype(f32)
 
     nr_pts = jnp.asarray(stats.nr_pts, f32)

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from deplex_tpu.config import Config
 from deplex_tpu.ops.cellstats import (CellMoments, CellStats,
-                                      finalize_cell_stats, matmul_band_split)
+                                      finalize_cell_stats, moments_band_plan)
 
 _LANES = 128
 _SUBLANES = 8
@@ -50,11 +50,13 @@ def pallas_cellstats_supported(image_height: int, image_width: int,
     if P < 2 or P % 2 != 0:
         return False
     gh, gw = image_height // P, image_width // P
-    Hc, Wc = gh * P, gw * P
-    if Wc % _LANES != 0 or Hc % _SUBLANES != 0 or gh % _SUBLANES != 0:
+    Wc = gw * P
+    if Wc % _LANES != 0:
         return False
-    # A row-band split with an in-VMEM f32 working set must exist.
-    if matmul_band_split(gh, Hc, Wc) is None:
+    # A (possibly row-padded) band plan with an in-VMEM f32 working set
+    # must exist; gh_pad % 8 == 0 implies sublane alignment of Hc_pad too
+    # (P is even). 720p@P8 (gh=90) pads to 96 — cellstats.moments_band_plan.
+    if moments_band_plan(gh, P, Wc) is None:
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -232,18 +234,23 @@ def cell_moments_pallas(depth: jax.Array, intrinsics: jax.Array,
     kparams = jnp.stack([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])[None, :]
 
     # Split each frame into S row-bands so the per-program f32 working set
-    # (~6 planes of the band) stays well inside VMEM; S must divide gh so
-    # cells never straddle bands (shared predicate with the XLA mirror).
-    S = matmul_band_split(gh, Hc, Wc)
-    if S is None:
-        raise ValueError(f"no VMEM band split for grid {gh}x{gw} (P={P})")
-    ghs, hcs = gh // S, Hc // S
+    # (~6 planes of the band) stays well inside VMEM; S must divide the
+    # (possibly padded) cell-row count so cells never straddle bands
+    # (shared plan with the XLA mirror — bit-equality requirement). Grids
+    # with no aligned split are padded with zero rows and cropped after.
+    plan = moments_band_plan(gh, P, Wc)
+    if plan is None:
+        raise ValueError(f"no VMEM band plan for grid {gh}x{gw} (P={P})")
+    gh_pad, S = plan
+    if gh_pad != gh:
+        d = jnp.pad(d, ((0, 0), (0, (gh_pad - gh) * P), (0, 0)))
+    ghs, hcs = gh_pad // S, gh_pad * P // S
 
     kernel = functools.partial(
         _kernel, P=P, gh=ghs, gw=gw,
         thr=float(config.depth_discontinuity_threshold))
 
-    plane = jax.ShapeDtypeStruct((B, gh, gw), jnp.float32)
+    plane = jax.ShapeDtypeStruct((B, gh_pad, gw), jnp.float32)
     outs = pl.pallas_call(
         kernel,
         grid=(B, S),
@@ -258,7 +265,8 @@ def cell_moments_pallas(depth: jax.Array, intrinsics: jax.Array,
                          memory_space=pltpu.VMEM) for _ in range(13)),
         interpret=interpret,
     )(kparams, d)
-    (cnt, dh, dv, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, diam) = outs
+    (cnt, dh, dv, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, diam) = (
+        o[:, :gh] for o in outs)
 
     coord_sum = jnp.stack([sx, sy, sz], axis=-1)
     scatter = jnp.stack([

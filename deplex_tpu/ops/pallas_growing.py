@@ -98,6 +98,21 @@ def pallas_supported(grid_shape, config: Config) -> bool:
     return pallas_batched_supported(1, grid_shape, config)
 
 
+def pallas_batched_chunk(n_frames: int, grid_shape, config: Config) -> int | None:
+    """Largest divisor of n_frames whose stacked canvas fits the VMEM plan.
+
+    The serving path's batch-size negotiation: a batch that misses the plan
+    at B (e.g. 720p's 90x160 grid at B=8) runs the SAME stacked kernel over
+    B/chunk sequential chunks instead of silently falling off to the XLA
+    growing path — the kernel's per-round amortization is preserved at any
+    serving batch size. Returns None when even one frame doesn't fit.
+    """
+    for b in range(n_frames, 0, -1):
+        if n_frames % b == 0 and pallas_batched_supported(b, grid_shape, config):
+            return b
+    return None
+
+
 def _shift(x, dr, dc):
     """Zero-padded shift: result[r, c] = x[r-dr, c-dc]."""
     z_row = jnp.zeros((1, x.shape[1]), x.dtype)

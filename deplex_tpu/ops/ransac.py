@@ -162,10 +162,13 @@ def refine_labels(points: jax.Array, labels: jax.Array, config: Config,
         n, d = per_plane(p, k)                              # (K,3), (K,)
         mask = (labels == p).astype(jnp.float32)            # (N,)
         # (N, K) distances via one matmul, outliers counted by a second.
+        # NaN distances (degenerate 3-point models) MUST count as outliers:
+        # `|nan| >= thr` is False, which would score a degenerate model as
+        # loss 0 and let it win, zeroing the whole plane in the final
+        # inlier pass — hence the negated-< form.
         err = pts @ n.T + d[None, :]
-        outlier = (jnp.abs(err) >= thr).astype(jnp.float32)
+        outlier = (~(jnp.abs(err) < thr)).astype(jnp.float32)
         loss = mask @ outlier                               # (K,)
-        loss = jnp.where(jnp.isnan(loss), jnp.inf, loss)
         best = reference_stop_winner(loss, jnp.sum(mask), ratio)
         return carry, (n[best], d[best])
 

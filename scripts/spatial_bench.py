@@ -69,9 +69,12 @@ def time_fn(fn, pts, repeats):
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     # np.asarray inside the timed region forces the device->host fetch of
-    # the scalar: on the tunneled backend block_until_ready alone has been
-    # observed to return before execution completes. Median of 5, not min:
-    # the minimum keeps any racy early return.
+    # the scalar, so the timing always includes completed execution on the
+    # remote (tunneled) backend regardless of how its completion events map
+    # to block_until_ready. Median of 5 (AGG = "median5", recorded in the
+    # artifact): robust to one-off host hiccups in either direction; NOTE
+    # this differs from the repo's earlier min-based timings — compare
+    # artifacts only within the same "agg".
     float(np.asarray(run(pts, repeats)))
     times = []
     for _ in range(5):
@@ -79,6 +82,9 @@ def time_fn(fn, pts, repeats):
         float(np.asarray(run(pts, repeats)))
         times.append(time.perf_counter() - t0)
     return float(np.median(times)) / repeats * 1e6
+
+
+AGG = "median5"
 
 
 def main():
@@ -102,7 +108,7 @@ def main():
     from deplex_tpu.pipeline import extract_planes
 
     results = {"mode": args.mode, "device": str(jax.devices()[0]),
-               "repeats": args.repeats, "configs": []}
+               "repeats": args.repeats, "agg": AGG, "configs": []}
 
     shapes = ([(720, 1280, Config(patch_size=8, max_planes=32))]
               if args.mode == "mesh"

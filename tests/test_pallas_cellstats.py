@@ -119,6 +119,31 @@ def test_continuity_and_validity_gates_exact(tum_depth):
     del ref
 
 
+def test_padded_band_plan_matches_xla():
+    """Grids whose cell-row count has no aligned band split (the 720p@P8
+    class: gh % 8 != 0) run through the zero-row-padded plan
+    (cellstats.moments_band_plan) on BOTH backends; results crop back to
+    the real grid and must agree like any supported shape."""
+    from deplex_tpu.ops.cellstats import moments_band_plan
+
+    H, W, P = 80, 128, 8                       # gh=10 -> padded to 16
+    assert moments_band_plan(H // P, P, W) == (16, 1)
+    cfg = Config(patch_size=P)
+    rng = np.random.default_rng(7)
+    z = rng.uniform(500, 3000, size=(H, W)).astype(np.float32)
+    z[:40] = 1200.0                            # one clean plane
+    depth = jnp.asarray(z)
+    K = jnp.asarray(np.array([[200.0, 0, W / 2 - 0.5],
+                              [0, 200.0, H / 2 - 0.5], [0, 0, 1]], np.float32))
+    _compare(depth, K, cfg, H, W)
+    got = jax.tree.map(
+        lambda a: a[0],
+        cell_stats_from_depth_pallas(depth[None], K, cfg, interpret=True))
+    assert got.planar.shape == (H // P, W // P)
+    # 720p@P8 itself is plan-covered (the round-4 gap: gh=90 fell off).
+    assert moments_band_plan(90, 8, 1280) is not None
+
+
 def test_supported_and_auto_policy():
     cfg = Config()                       # P=10
     assert pallas_cellstats_supported(480, 640, cfg) in (True, False)
