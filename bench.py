@@ -93,12 +93,20 @@ def bench_from_csv(csv_path: str | None):
     dpts = jax.device_put(np.broadcast_to(pts, (2,) + pts.shape).copy())
     planes = int(chain(dpts, n=CALLS))          # compile + validate
     assert abs(planes - 34) <= 2, planes
-    times = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(chain(dpts, n=CALLS))
-        times.append(time.perf_counter() - t0)
-    secs = float(np.median(times))
+    float(np.asarray(chain(dpts, n=2 * CALLS)))  # compile the 2n program
+
+    # Differential fetched timing: through the remote tunnel
+    # block_until_ready may return early, so fetch the scalar and use
+    # T(2n) - T(n) so the tunnel round-trip cancels (see main()).
+    def timed(n):
+        ts = []
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            float(np.asarray(chain(dpts, n=n)))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    secs = max(timed(2 * CALLS) - timed(CALLS), 1e-9)
 
     baseline_file = ROOT / "data" / "golden" / "baseline_cpp.json"
     baseline = json.loads(baseline_file.read_text()) if baseline_file.exists() else {}
@@ -132,7 +140,18 @@ def main():
     G = int(os.environ.get("BENCH_RING", "4"))
     # BENCH_PALLAS: "" = auto, "1"/"0" = force the growing backend.
     bp = os.environ.get("BENCH_PALLAS", "")
-    cfg = Config(use_pallas_growing=None if bp == "" else bool(int(bp)))
+    # BENCH_CONFIG: optional .ini (e.g. the shipped RANSAC config) — the
+    # strict default-config goldens (labeled-pixel mass) only apply to the
+    # default config; custom configs validate plane count loosely.
+    ini = os.environ.get("BENCH_CONFIG", "")
+    if ini:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            Config.from_ini(ini),
+            use_pallas_growing=None if bp == "" else bool(int(bp)))
+    else:
+        cfg = Config(use_pallas_growing=None if bp == "" else bool(int(bp)))
 
     # B=64 is the largest VGA@P10 batch whose stacked canvas fits the
     # growing kernel's VMEM plan (pallas_growing.pallas_batched_supported);
@@ -178,7 +197,9 @@ def main():
     baseline_file = ROOT / "data" / "golden" / "baseline_cpp.json"
     baseline = json.loads(baseline_file.read_text()) if baseline_file.exists() else {}
     golden_planes = int(baseline.get("found_planes", 34))
-    plane_tol = 2
+    # Custom configs (RANSAC refinement may zero out whole small planes,
+    # dropping the max label) get a loose count check; default is tight.
+    plane_tol = 6 if ini else 2
     # Labeled-pixel golden: the reference labels 126000 of 307200 pixels on
     # this frame (data/golden/tum_default_labels.npz). A regression that
     # preserves the max label while corrupting labels trips this bound.
@@ -189,26 +210,45 @@ def main():
         golden_labeled = 126000
     labeled_lo, labeled_hi = int(0.9 * golden_labeled), int(1.1 * golden_labeled)
 
-    # Warmup / compile.
+    # Warmup / compile (both program sizes for the differential timing).
     counts0, _ = serve(ring, Kd, n_iters=n_iters)
-    jax.block_until_ready(counts0)
+    counts0 = np.asarray(counts0)
     expected_planes = int(counts0[0, 0])
     assert abs(expected_planes - golden_planes) <= plane_tol, (
         f"plane count {expected_planes} vs golden {golden_planes}")
+    np.asarray(serve(ring, Kd, n_iters=2 * n_iters)[0])
 
-    t0 = time.perf_counter()
-    counts, labeled = serve(ring, Kd, n_iters=n_iters)
-    jax.block_until_ready((counts, labeled))
-    dt = time.perf_counter() - t0
+    # DIFFERENTIAL fetched timing (protocol hardened round 5): through the
+    # remote tunnel, block_until_ready has been observed to return before
+    # remote execution completes, so each timed region fetches the summary
+    # arrays (np.asarray forces completion), and the tunnel round-trip +
+    # fetch cost cancels in T(2n) - T(n). On a co-located host the two
+    # protocols agree; through the tunnel only this one is trustworthy.
+    def timed(n):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            c, lab = serve(ring, Kd, n_iters=n)
+            c, lab = np.asarray(c), np.asarray(lab)
+            ts.append(time.perf_counter() - t0)
+        return min(ts), c, lab
+
+    t1, counts, labeled = timed(n_iters)
+    t2, counts2, labeled2 = timed(2 * n_iters)
+    dt = max(t2 - t1, 1e-9)
     fps = n_iters * B / dt
 
     # Validate: every frame found the expected planes AND labeled the
-    # expected pixel mass (fetches both summaries).
-    assert set(np.asarray(counts).reshape(-1).tolist()) == {expected_planes}
-    labeled_np = np.asarray(labeled).reshape(-1)
-    assert labeled_np.min() >= labeled_lo and labeled_np.max() <= labeled_hi, (
-        f"labeled pixels [{labeled_np.min()}, {labeled_np.max()}] outside "
-        f"golden range [{labeled_lo}, {labeled_hi}]")
+    # expected pixel mass (both timed runs' summaries).
+    assert set(np.concatenate([counts.reshape(-1), counts2.reshape(-1)])
+               .tolist()) == {expected_planes}
+    labeled_np = np.concatenate([labeled.reshape(-1), labeled2.reshape(-1)])
+    if not ini:
+        assert labeled_np.min() >= labeled_lo and labeled_np.max() <= labeled_hi, (
+            f"labeled pixels [{labeled_np.min()}, {labeled_np.max()}] outside "
+            f"golden range [{labeled_lo}, {labeled_hi}]")
+    else:
+        assert labeled_np.min() > 0  # custom config: pipeline produced labels
 
     # --- single-frame latency (B=1, the reference's primary protocol:
     # examples/process_cloud.cpp:26-37 — one process() per measurement).
@@ -239,17 +279,25 @@ def main():
     n_planes1 = int(serve_b1(frame1, Kd, n=lat_chain))   # compile + validate
     assert abs(n_planes1 - golden_planes) <= plane_tol, (
         f"B=1 plane count {n_planes1} vs golden {golden_planes}")
-    lats = []
-    for _ in range(lat_reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(serve_b1(frame1, Kd, n=lat_chain))
-        lats.append((time.perf_counter() - t0) * 1e3 / lat_chain)
-    p50_ms = float(np.percentile(lats, 50))
+    float(np.asarray(serve_b1(frame1, Kd, n=2 * lat_chain)))  # compile 2n
+
+    # Differential fetched timing (same rationale as the throughput
+    # protocol above): per-frame = (T(2n) - T(n)) / n, tunnel RTT cancels.
+    def lat_timed(n):
+        ts = []
+        for _ in range(lat_reps):
+            t0 = time.perf_counter()
+            float(np.asarray(serve_b1(frame1, Kd, n=n)))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    p50_ms = max(lat_timed(2 * lat_chain) - lat_timed(lat_chain), 1e-9) \
+        * 1e3 / lat_chain
 
     baseline_fps = baseline.get("fps") or 33.3  # CAPE paper real-time VGA CPU
     baseline_lat_ms = (baseline.get("elapsed_us_per_frame") or 30000) / 1e3
 
-    print(json.dumps({
+    out = {
         "metric": "tum_fr3_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
@@ -258,7 +306,11 @@ def main():
         "latency_vs_baseline": round(baseline_lat_ms / p50_ms, 3),
         "planes": expected_planes,
         "golden_planes": golden_planes,
-    }))
+    }
+    if ini:
+        out["metric"] = "tum_fr3_frames_per_sec_per_chip_custom_config"
+        out["config"] = ini
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

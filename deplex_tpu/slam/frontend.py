@@ -207,7 +207,7 @@ class PlaneSlam:
     def build_ba_problem(self, odo_weight: float = 3.0,
                          cv_weight: float = 10000.0,
                          edge_cos_gate: float = 0.95,
-                         edge_offset_gate: float = 100.0):
+                         edge_offset_gate: float = 300.0):
         """Assemble the accumulated keyframes into a BAProblem.
 
         Observations are the per-frame plane measurements matched to map
@@ -232,15 +232,18 @@ class PlaneSlam:
         # by thousands of pixels constrains the pose more than a fragment.
         obs_w = np.where((lm >= 0) & (w > 0),
                          np.sqrt(np.maximum(w, 0.0)), 0.0).astype(np.float32)
-        # BA edge gate, TIGHTER than the tracking match gate (ADVICE r4):
-        # the 200 mm match gate keeps tracking locked on under drift, and a
-        # misassociation it admits costs tracking only one Huber-damped
-        # frame — but the same match becomes a PERMANENT wrong factor in
-        # the BA problem, dragging a pose/landmark pair at every
-        # iteration. Re-check each recorded match against the CURRENT
-        # fused map at the tracked pose and drop edges outside the tight
-        # gate; by problem-build time drift has been absorbed into the
-        # pose estimate, so a genuine match sits well inside it.
+        # BA edge gate (ADVICE r4): the 200 mm match gate keeps tracking
+        # locked on under drift, and a misassociation it admits costs
+        # tracking only one Huber-damped frame — but the same match becomes
+        # a PERMANENT wrong factor in the BA problem. Re-check each
+        # recorded match against the CURRENT fused map at the tracked pose
+        # and drop GROSS outliers. The gate must stay LOOSE on offset
+        # (300 mm): offset residuals of the order of the tracking drift are
+        # exactly the information BA uses, and gating at 100 mm removed
+        # informative edges and REGRESSED BA ATE 31.3 -> 50.0 mm on the
+        # warped-TUM sweep (round-5 measurement); at cos 0.95 / 300 mm the
+        # gate is a no-op on clean sequences and only fires on true
+        # misassociations.
         R_all = np.stack([p[0] for p in self._window_traj])
         t_all = np.stack([p[1] for p in self._window_traj])
         n_map = np.asarray(self.map.normal)

@@ -137,6 +137,11 @@ def run_dataset(args):
                           "frame, exact ground truth)",
               "trajectory_length_mm": traj_len,
               "window": args.window or None,
+              "args": {"frames": args.frames, "config": args.config,
+                       "intrinsics": args.intrinsics,
+                       "max_landmarks": args.max_landmarks},
+              "sequence_manifest": (json.loads((root / "manifest.json").read_text())
+                                    if (root / "manifest.json").exists() else None),
               "landmarks": int(np.asarray(slam.map.count)),
               "ate_rmse_mm": {"tracking": ate(slam.trajectory)}}
     tracked = list(slam.trajectory)

@@ -47,7 +47,19 @@ def main():
     np.savez(out / "trajectory_gt.npz",
              R=np.stack([R for R, _ in poses]),
              t=np.stack([t for _, t in poses]))
-    print(f"{args.frames} frames -> {out} (+ trajectory_gt.npz)")
+    # Provenance manifest: committed ATE artifacts must be regenerable
+    # bit-for-bit (round-5 lesson: an artifact without its generation
+    # parameters cannot be re-validated after a code change).
+    import json
+
+    (out / "manifest.json").write_text(json.dumps({
+        "generator": "scripts/make_sequence.py",
+        "image": str(pathlib.Path(args.image).resolve()),
+        "intrinsics": str(pathlib.Path(args.intrinsics).resolve()),
+        "frames": args.frames,
+        "seed": args.seed,
+    }, indent=2) + "\n")
+    print(f"{args.frames} frames -> {out} (+ trajectory_gt.npz, manifest.json)")
 
 
 if __name__ == "__main__":

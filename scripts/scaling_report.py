@@ -97,13 +97,22 @@ def main():
         ring_np = np.broadcast_to(img.data, (G, B) + img.data.shape).copy()
         sharding = NamedSharding(mesh, P(None, "data", None, None))
         ring = jax.device_put(ring_np, sharding)
-        counts = serve(ring, Kd, n_iters=args.repeats)       # warmup/compile
-        np.asarray(counts)
-        t0 = time.perf_counter()
-        counts = serve(ring, Kd, n_iters=args.repeats)
-        counts = np.asarray(counts)                          # sync fetch
-        dt = time.perf_counter() - t0
+        counts = np.asarray(serve(ring, Kd, n_iters=args.repeats))  # warm
         assert (counts > 0).all()
+        np.asarray(serve(ring, Kd, n_iters=2 * args.repeats))  # compile 2n
+
+        # Differential fetched timing (bench.py protocol, round 5): the
+        # fetch forces remote completion and its round-trip cancels in
+        # T(2n) - T(n).
+        def timed(n):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(serve(ring, Kd, n_iters=n))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        dt = max(timed(2 * args.repeats) - timed(args.repeats), 1e-9)
         fps = B * args.repeats / dt
         if base_fps is None:
             base_fps = fps

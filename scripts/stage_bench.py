@@ -55,19 +55,33 @@ def make_runner(stage_fn):
     return run
 
 
+def diff_time(run_n, repeats, batch):
+    """(T(2n) - T(n)) / (n*batch), with the scalar result FETCHED inside
+    each timed region: through the remote tunnel block_until_ready has
+    been observed to return before execution completes, and the fetch
+    round-trip cancels in the difference. Both program sizes are compiled
+    during warmup (n is static)."""
+    import numpy as np
+
+    run_n(repeats)
+    float(np.asarray(run_n(2 * repeats)))  # warm + compile both sizes
+
+    def best_of(n, k=3):
+        best = float("inf")
+        for _ in range(k):
+            t0 = time.perf_counter()
+            float(np.asarray(run_n(n)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_of(repeats)
+    t2 = best_of(2 * repeats)
+    return max(t2 - t1, 1e-12) / (repeats * batch) * 1e6
+
+
 def time_stage(name, stage_fn, ring, repeats, batch):
     run = make_runner(stage_fn)
-    # Warm with the SAME static n as the timed run — n is a static argnum,
-    # so a different n is a different XLA program and warming with n=2 would
-    # leave the n=repeats compile inside the timed region.
-    run(ring, repeats).block_until_ready()
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run(ring, repeats).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    us = best / (repeats * batch) * 1e6
-    return name, us
+    return name, diff_time(lambda n: run(ring, n), repeats, batch)
 
 
 def main():
@@ -143,13 +157,9 @@ def main():
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    run_merge(labels_map_ring, segments_ring, args.repeats).block_until_ready()
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run_merge(labels_map_ring, segments_ring, args.repeats).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    results.append(("merge+rasterize", best / (args.repeats * B) * 1e6))
+    results.append(("merge+rasterize", diff_time(
+        lambda n: run_merge(labels_map_ring, segments_ring, n),
+        args.repeats, B)))
 
     results.append(time_stage(
         "FULL pipeline (extract_depth_batch)",
@@ -165,9 +175,10 @@ def main():
         import json
 
         payload = {
-            "protocol": ("device-side fori_loop ring per stage; best-of-3 "
-                         "wall clock / (repeats*batch); merge via "
-                         "pipeline.merge_stage dispatch"),
+            "protocol": ("device-side fori_loop ring per stage; "
+                         "DIFFERENTIAL fetched timing (T(2n)-T(n))/n with "
+                         "best-of-3 per size — tunnel RTT cancels; merge "
+                         "via pipeline.merge_stage dispatch"),
             "device": jax.devices()[0].device_kind,
             "batch": B,
             "repeats": args.repeats,
