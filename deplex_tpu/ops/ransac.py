@@ -76,7 +76,8 @@ def refine_labels(points: jax.Array, labels: jax.Array, config: Config,
                   key: jax.Array | None = None, *,
                   cell_labels: jax.Array | None = None,
                   image_width: int | None = None,
-                  patch_size: int | None = None) -> jax.Array:
+                  patch_size: int | None = None,
+                  chunk_size: int | None = None) -> jax.Array:
     """points: (N, 3), labels: (N,) int32 -> refined labels.
 
     cell_labels (optional, with image_width + patch_size): the (gh, gw)
@@ -156,20 +157,63 @@ def refine_labels(points: jax.Array, labels: jax.Array, config: Config,
             return n, d
 
     ratio = jnp.float32(config.ransac_inliers_ratio)
+    # Hypotheses are scored in CHUNKS inside a while_loop that stops once
+    # the reference's inlier-ratio rule fires — the winner is identical to
+    # reference_stop_winner over the full loss vector (the stopping rule
+    # is prefix-determined), but (a) peak memory is (N, chunk) instead of
+    # (N, K) — K=1000 at VGA would be 1.2 GB per in-flight frame — and
+    # (b) with the shipped ratio 0.15 most planes stop in the first chunk,
+    # skipping ~(K - chunk)/K of the matmul work the all-at-once form pays.
+    Kc = min(K, chunk_size or 128)
+    S = (K + Kc - 1) // Kc
 
     def score_plane(carry, inp):
         p, k = inp
         n, d = per_plane(p, k)                              # (K,3), (K,)
+        pad = S * Kc - K
+        if pad:
+            # Padded slots: NaN models (never win; counted as outliers).
+            n = jnp.concatenate([n, jnp.full((pad, 3), jnp.nan, n.dtype)])
+            d = jnp.concatenate([d, jnp.full((pad,), jnp.nan, d.dtype)])
+        n_ch = n.reshape(S, Kc, 3)
+        d_ch = d.reshape(S, Kc)
         mask = (labels == p).astype(jnp.float32)            # (N,)
-        # (N, K) distances via one matmul, outliers counted by a second.
-        # NaN distances (degenerate 3-point models) MUST count as outliers:
-        # `|nan| >= thr` is False, which would score a degenerate model as
-        # loss 0 and let it win, zeroing the whole plane in the final
-        # inlier pass — hence the negated-< form.
-        err = pts @ n.T + d[None, :]
-        outlier = (~(jnp.abs(err) < thr)).astype(jnp.float32)
-        loss = mask @ outlier                               # (K,)
-        best = reference_stop_winner(loss, jnp.sum(mask), ratio)
+        n_p = jnp.sum(mask)
+        target = ratio * n_p
+
+        def chunk_loss(s):
+            # (N, Kc) distances via one matmul, outliers counted by a
+            # second. NaN distances (degenerate 3-point models) MUST count
+            # as outliers: `|nan| >= thr` is False, which would score a
+            # degenerate model as loss 0 and let it win, zeroing the whole
+            # plane in the final inlier pass — hence the negated-< form.
+            err = pts @ n_ch[s].T + d_ch[s][None, :]
+            outlier = (~(jnp.abs(err) < thr)).astype(jnp.float32)
+            return mask @ outlier                           # (Kc,)
+
+        def cond(c):
+            s, reached, run_best, best_loss, best_k = c
+            return (~reached) & (s < S)
+
+        def body(c):
+            s, reached, run_best, best_loss, best_k = c
+            loss = chunk_loss(s)
+            inliers = n_p - loss
+            run = jax.lax.associative_scan(
+                jnp.maximum, jnp.maximum(inliers, run_best))
+            hit = run >= target
+            stop = jnp.where(jnp.any(hit), jnp.argmax(hit), Kc - 1)
+            prefix_loss = jnp.where(jnp.arange(Kc) <= stop, loss, jnp.inf)
+            j = jnp.argmin(prefix_loss)
+            # Strict < keeps the FIRST global minimum (argmin tie rule).
+            better = prefix_loss[j] < best_loss
+            best_loss = jnp.where(better, prefix_loss[j], best_loss)
+            best_k = jnp.where(better, s * Kc + j, best_k)
+            return (s + 1, jnp.any(hit), run[-1], best_loss, best_k)
+
+        init = (jnp.int32(0), jnp.bool_(False), jnp.float32(-jnp.inf),
+                jnp.float32(jnp.inf), jnp.int32(0))
+        *_, best = jax.lax.while_loop(cond, body, init)
         return carry, (n[best], d[best])
 
     _, (best_n, best_d) = jax.lax.scan(score_plane, None, (plane_ids, keys))

@@ -53,6 +53,41 @@ def test_refinement_only_removes_labels(tum_cloud):
     assert (refined[changed] == 0).all()
 
 
+class TestChunkedScoring:
+    """The round-5 chunked early-exit scorer must pick the SAME winner as
+    evaluating all hypotheses at once (the stopping rule is
+    prefix-determined, so chunk boundaries cannot change it)."""
+
+    @pytest.mark.parametrize("ratio", [0.15, 0.5, 1.0])
+    def test_chunking_invariant(self, ratio):
+        import jax.numpy as jnp
+
+        from deplex_tpu.ops.ransac import refine_labels
+
+        rng = np.random.default_rng(7)
+        H, W, P = 40, 128, 8
+        gh, gw = H // P, W // P
+        cell_lab = rng.integers(0, 4, (gh, gw)).astype(np.int32)
+        labels = np.repeat(np.repeat(cell_lab, P, 0), P, 1).reshape(-1)
+        z = rng.uniform(500, 3000, (H, W)).astype(np.float32)
+        # Make plane 1 a real plane so early exit genuinely fires.
+        z[:16] = 1000.0
+        u = (np.arange(W) - W / 2 + .5) / 200.0
+        v = (np.arange(H)[:, None] - H / 2 + .5) / 200.0
+        pts = np.stack([u * z, np.broadcast_to(v, (H, W)) * z, z],
+                       -1).reshape(-1, 3).astype(np.float32)
+        cfg = Config(patch_size=P, max_planes=4, ransac_refinement=True,
+                     ransac_max_iterations=192, ransac_inliers_ratio=ratio,
+                     ransac_threshold=5.0)
+        kw = dict(cell_labels=jnp.asarray(cell_lab), image_width=W,
+                  patch_size=P)
+        one = refine_labels(jnp.asarray(pts), jnp.asarray(labels), cfg,
+                            chunk_size=192, **kw)      # single chunk
+        multi = refine_labels(jnp.asarray(pts), jnp.asarray(labels), cfg,
+                              chunk_size=64, **kw)     # 3 chunks
+        np.testing.assert_array_equal(np.asarray(one), np.asarray(multi))
+
+
 class TestInliersRatioSemantics:
     """ransac_inliers_ratio drives the reference's early-exit stopping rule
     (RANSAC.hpp:77-79); reference_stop_winner reproduces it on the
