@@ -160,63 +160,167 @@ def refine_labels(points: jax.Array, labels: jax.Array, config: Config,
     # Hypotheses are scored in CHUNKS inside a while_loop that stops once
     # the reference's inlier-ratio rule fires — the winner is identical to
     # reference_stop_winner over the full loss vector (the stopping rule
-    # is prefix-determined), but (a) peak memory is (N, chunk) instead of
-    # (N, K) — K=1000 at VGA would be 1.2 GB per in-flight frame — and
-    # (b) with the shipped ratio 0.15 most planes stop in the first chunk,
-    # skipping ~(K - chunk)/K of the matmul work the all-at-once form pays.
+    # is prefix-determined), but (a) peak memory is bounded by the chunk
+    # width — the all-at-once (N, K) form at K=1000/VGA is 1.2 GB per
+    # in-flight frame and OOMs serving batches — and (b) with the shipped
+    # ratio 0.15 most planes stop in the first chunk, skipping most work.
+    # All losses are exact small-integer counts in f32 (products of {0,1}
+    # indicators; f32 addition of integers <= N is exact), so every
+    # evaluation order below yields bit-identical losses and winners.
     Kc = min(K, chunk_size or 128)
     S = (K + Kc - 1) // Kc
 
-    def score_plane(carry, inp):
-        p, k = inp
-        n, d = per_plane(p, k)                              # (K,3), (K,)
+    def pad_hyp(n, d):
         pad = S * Kc - K
         if pad:
-            # Padded slots: NaN models (never win; counted as outliers).
             n = jnp.concatenate([n, jnp.full((pad, 3), jnp.nan, n.dtype)])
             d = jnp.concatenate([d, jnp.full((pad,), jnp.nan, d.dtype)])
-        n_ch = n.reshape(S, Kc, 3)
-        d_ch = d.reshape(S, Kc)
-        mask = (labels == p).astype(jnp.float32)            # (N,)
-        n_p = jnp.sum(mask)
-        target = ratio * n_p
+        # Degenerate 3-point models (NaN from the zero cross product) and
+        # padded slots are SANITIZED to an all-outlier finite model
+        # (n=0, d=huge -> every |err| >= thr, loss = n_p, can never win;
+        # if every model of a plane is degenerate the final inlier pass
+        # zeroes it, as the NaN form did). Finite values are required
+        # because the cell path selects params through a one-hot einsum
+        # and 0 * NaN = NaN would poison that hypothesis slot for EVERY
+        # plane, not just the degenerate one.
+        bad = ~(jnp.isfinite(d) & jnp.all(jnp.isfinite(n), axis=-1))
+        n = jnp.where(bad[:, None], 0.0, n)
+        d = jnp.where(bad, jnp.float32(1e30), d)
+        return n, d
 
-        def chunk_loss(s):
-            # (N, Kc) distances via one matmul, outliers counted by a
-            # second. NaN distances (degenerate 3-point models) MUST count
-            # as outliers: `|nan| >= thr` is False, which would score a
-            # degenerate model as loss 0 and let it win, zeroing the whole
-            # plane in the final inlier pass — hence the negated-< form.
-            err = pts @ n_ch[s].T + d_ch[s][None, :]
-            outlier = (~(jnp.abs(err) < thr)).astype(jnp.float32)
-            return mask @ outlier                           # (Kc,)
+    if cell_labels is not None:
+        # --- pixel-parallel scoring over the cell grid (hot path) ---
+        # Each pixel is scored ONLY against its own plane's hypotheses
+        # (like the reference, which hands RANSAC the plane's point set —
+        # RANSAC.hpp:34) by expanding per-cell hypothesis params over the
+        # free (gh, P, gw, P) view: one elementwise pass of N*Kc work per
+        # chunk covers ALL planes, vs the per-plane form's MAXP passes of
+        # N*Kc each (measured 66.9 ms/frame at the shipped K=1000 config;
+        # the per-plane (N,3)x(3,Kc) matmuls also run at 3/128 MXU
+        # contraction utilization, and their bf16 default precision is too
+        # coarse to rank |err| < 1-unit thresholds of 5e4-scale inputs —
+        # the elementwise form is exact f32).
+        n_all, d_all = jax.vmap(per_plane)(plane_ids, keys)  # (MAXP,K,3)
+        n_all, d_all = jax.vmap(pad_hyp)(n_all, d_all)
+        n_r = n_all.reshape(MAXP, S, Kc, 3)
+        d_r = d_all.reshape(MAXP, S, Kc)
+
+        Hh = N // W
+        img = pts.reshape(Hh, W, 3)[: gh * P, : gw * P]
+        x4 = img[..., 0].reshape(gh, P, gw, P)
+        y4 = img[..., 1].reshape(gh, P, gw, P)
+        z4 = img[..., 2].reshape(gh, P, gw, P)
+
+        # (gh, gw, MAXP) one-hot of each cell's plane id (0 = none).
+        oh = (cell_labels[..., None] == plane_ids[None, None, :]
+              ).astype(jnp.float32)
+        cells_per_plane = jnp.einsum("ghp->p", oh)
+        n_pts_plane = cells_per_plane * PP                   # (MAXP,)
+        target = ratio * n_pts_plane
+        hi = jax.lax.Precision.HIGHEST   # exact param selection (one-hot)
+
+        def chunk_losses(s):
+            nck = n_r[:, s]                                  # (MAXP,Kc,3)
+            dck = d_r[:, s]                                  # (MAXP,Kc)
+            nsel = jnp.einsum("ghp,pki->ghki", oh, nck, precision=hi)
+            dsel = jnp.einsum("ghp,pk->ghk", oh, dck, precision=hi)
+            # err over (gh, P, gw, P, Kc); sanitized degenerate models
+            # (pad_hyp) give |err| ~ 1e30 -> outlier everywhere.
+            e = (x4[..., None] * nsel[:, None, :, None, :, 0]
+                 + y4[..., None] * nsel[:, None, :, None, :, 1]
+                 + z4[..., None] * nsel[:, None, :, None, :, 2]
+                 + dsel[:, None, :, None, :])
+            out = (~(jnp.abs(e) < thr)).astype(jnp.float32)
+            cell_out = jnp.sum(out, axis=(1, 3))             # (gh,gw,Kc)
+            # Cells of label 0 carry no one-hot row: excluded exactly.
+            return jnp.einsum("ghp,ghk->pk", oh, cell_out, precision=hi)
 
         def cond(c):
-            s, reached, run_best, best_loss, best_k = c
-            return (~reached) & (s < S)
+            s, reached, *_ = c
+            return (~jnp.all(reached)) & (s < S)
 
         def body(c):
             s, reached, run_best, best_loss, best_k = c
-            loss = chunk_loss(s)
-            inliers = n_p - loss
+            loss = chunk_losses(s)                           # (MAXP,Kc)
+            inliers = n_pts_plane[:, None] - loss
             run = jax.lax.associative_scan(
-                jnp.maximum, jnp.maximum(inliers, run_best))
-            hit = run >= target
-            stop = jnp.where(jnp.any(hit), jnp.argmax(hit), Kc - 1)
-            prefix_loss = jnp.where(jnp.arange(Kc) <= stop, loss, jnp.inf)
-            j = jnp.argmin(prefix_loss)
-            # Strict < keeps the FIRST global minimum (argmin tie rule).
-            better = prefix_loss[j] < best_loss
-            best_loss = jnp.where(better, prefix_loss[j], best_loss)
-            best_k = jnp.where(better, s * Kc + j, best_k)
-            return (s + 1, jnp.any(hit), run[-1], best_loss, best_k)
+                jnp.maximum, jnp.maximum(inliers, run_best[:, None]),
+                axis=1)
+            hit = run >= target[:, None]
+            stop = jnp.where(jnp.any(hit, 1), jnp.argmax(hit, 1), Kc - 1)
+            prefix = jnp.where(jnp.arange(Kc)[None, :] <= stop[:, None],
+                               loss, jnp.inf)
+            j = jnp.argmin(prefix, axis=1)
+            pl = jnp.take_along_axis(prefix, j[:, None], 1)[:, 0]
+            # Planes that stopped in an EARLIER chunk are frozen; strict <
+            # keeps the first global minimum (argmin tie rule).
+            upd = (~reached) & (pl < best_loss)
+            best_loss = jnp.where(upd, pl, best_loss)
+            best_k = jnp.where(upd, s * Kc + j, best_k)
+            reached = reached | jnp.any(hit, 1)
+            run_best = jnp.maximum(run_best, run[:, -1])
+            return (s + 1, reached, run_best, best_loss, best_k)
 
-        init = (jnp.int32(0), jnp.bool_(False), jnp.float32(-jnp.inf),
-                jnp.float32(jnp.inf), jnp.int32(0))
-        *_, best = jax.lax.while_loop(cond, body, init)
-        return carry, (n[best], d[best])
+        init = (jnp.int32(0), jnp.zeros(MAXP, bool),
+                jnp.full(MAXP, -jnp.inf, jnp.float32),
+                jnp.full(MAXP, jnp.inf, jnp.float32),
+                jnp.zeros(MAXP, jnp.int32))
+        *_, best_k_all = jax.lax.while_loop(cond, body, init)
+        best_n = jnp.take_along_axis(
+            n_all, best_k_all[:, None, None], axis=1)[:, 0]  # (MAXP,3)
+        best_d = jnp.take_along_axis(d_all, best_k_all[:, None], 1)[:, 0]
+    else:
+        # --- per-plane scanned scoring (pixel fallback path) ---
+        def score_plane(carry, inp):
+            p, k = inp
+            n, d = pad_hyp(*per_plane(p, k))
+            n_ch = n.reshape(S, Kc, 3)
+            d_ch = d.reshape(S, Kc)
+            mask = (labels == p).astype(jnp.float32)        # (N,)
+            n_p = jnp.sum(mask)
+            target = ratio * n_p
 
-    _, (best_n, best_d) = jax.lax.scan(score_plane, None, (plane_ids, keys))
+            def chunk_loss(s):
+                # (N, Kc) distances via one matmul (HIGHEST: bf16 default
+                # precision cannot rank |err| < 1-unit thresholds of
+                # 5e4-scale coordinates), outliers counted by a second.
+                # The negated-< form keeps any non-finite distance an
+                # outlier (defense in depth on top of pad_hyp's
+                # sanitization).
+                err = jax.lax.dot(pts, n_ch[s].T,
+                                  precision=jax.lax.Precision.HIGHEST) \
+                    + d_ch[s][None, :]
+                outlier = (~(jnp.abs(err) < thr)).astype(jnp.float32)
+                return mask @ outlier                       # (Kc,)
+
+            def cond(c):
+                s, reached, run_best, best_loss, best_k = c
+                return (~reached) & (s < S)
+
+            def body(c):
+                s, reached, run_best, best_loss, best_k = c
+                loss = chunk_loss(s)
+                inliers = n_p - loss
+                run = jax.lax.associative_scan(
+                    jnp.maximum, jnp.maximum(inliers, run_best))
+                hit = run >= target
+                stop = jnp.where(jnp.any(hit), jnp.argmax(hit), Kc - 1)
+                prefix_loss = jnp.where(jnp.arange(Kc) <= stop, loss,
+                                        jnp.inf)
+                j = jnp.argmin(prefix_loss)
+                better = prefix_loss[j] < best_loss
+                best_loss = jnp.where(better, prefix_loss[j], best_loss)
+                best_k = jnp.where(better, s * Kc + j, best_k)
+                return (s + 1, jnp.any(hit), run[-1], best_loss, best_k)
+
+            init = (jnp.int32(0), jnp.bool_(False),
+                    jnp.float32(-jnp.inf), jnp.float32(jnp.inf),
+                    jnp.int32(0))
+            *_, best = jax.lax.while_loop(cond, body, init)
+            return carry, (n[best], d[best])
+
+        _, (best_n, best_d) = jax.lax.scan(score_plane, None,
+                                           (plane_ids, keys))
 
     # Final inlier pass: each labeled pixel keeps its label iff it is an
     # inlier of its plane's best model (FindInliers, RANSAC.hpp:53-62).
