@@ -19,7 +19,12 @@ configuration is sustained steady-state serving on one TPU chip:
     stack) reads them; the compact summaries are fetched to host and
     VALIDATED against the expected plane count, so the computation cannot
     be elided;
-  * dispatches are pipelined (async) and timed end-to-end over R frames.
+  * timing is DIFFERENTIAL over two program sizes — T(2n) - T(n) with the
+    summaries fetched inside both timed regions — so remote completion is
+    forced (block_until_ready alone has been observed to return early
+    through the tunnel) and the tunnel round-trip / fixed dispatch cost
+    cancels; the quotient is the chip's marginal per-frame time
+    (BASELINE.md "Timing through the tunnel").
 
 vs_baseline = ratio over the reference C++ single-core FPS measured on this
 machine (data/golden/baseline_cpp.json; regenerate with

@@ -280,9 +280,20 @@ def _moments_matmul(x_img, y_img, z_img, P: int, gh: int, gw: int, S: int):
         sx, sy, sz = bsum(xb), bsum(yb), bsum(zb)
         xs, ys, zs = xb - bc(axb), yb - bc(ayb), zb - bc(azb)
         sxs, sys_, szs = bsum(xs), bsum(ys), bsum(zs)
-        cx_, cy_, cz_ = xs - bc(sxs / n), ys - bc(sys_ / n), zs - bc(szs / n)
-        return (sx, sy, sz, bsum(cx_ * cx_), bsum(cx_ * cy_), bsum(cx_ * cz_),
-                bsum(cy_ * cy_), bsum(cy_ * cz_), bsum(cz_ * cz_))
+        # Mean-centering folded algebraically (round 5):
+        # bsum((xs-mx)(ys-my)) = bsum(xs*ys) - sxs*sys/n for per-cell
+        # means mx = sxs/n — the second centering pass and its 3 per-cell
+        # mean broadcasts disappear. Conditioning: the subtrahend is
+        # O(mean^2/extent^2) ~ 4x the result, costing ~2 of the ~7 bits
+        # of margin first-pixel anchoring buys (BASELINE.md history);
+        # validated by the same TUM/ICL conformance gates as the r2 fix.
+        return (sx, sy, sz,
+                bsum(xs * xs) - sxs * (sxs / n),
+                bsum(xs * ys) - sxs * (sys_ / n),
+                bsum(xs * zs) - sxs * (szs / n),
+                bsum(ys * ys) - sys_ * (sys_ / n),
+                bsum(ys * zs) - sys_ * (szs / n),
+                bsum(zs * zs) - szs * (szs / n))
 
     ax, ay, az = x_img[::P, ::P], y_img[::P, ::P], z_img[::P, ::P]  # (gh, gw)
     outs = jax.lax.map(

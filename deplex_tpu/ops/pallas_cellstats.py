@@ -156,15 +156,16 @@ def _kernel(kparams_ref, depth_ref,
     ys = y - bc(zf * vf)
     zs = z - bc(zf)
     sxs, sys_, szs = bsum(xs), bsum(ys), bsum(zs)
-    cx_ = xs - bc(sxs / n)
-    cy_ = ys - bc(sys_ / n)
-    cz_ = zs - bc(szs / n)
-    sxx_ref[0] = bsum(cx_ * cx_)
-    sxy_ref[0] = bsum(cx_ * cy_)
-    sxz_ref[0] = bsum(cx_ * cz_)
-    syy_ref[0] = bsum(cy_ * cy_)
-    syz_ref[0] = bsum(cy_ * cz_)
-    szz_ref[0] = bsum(cz_ * cz_)
+    # Mean-centering folded algebraically (round 5, mirrored bit-for-bit
+    # in cellstats._moments_matmul): bsum((xs-mx)(ys-my)) =
+    # bsum(xs*ys) - sxs*sys/n — drops the second centering pass and its
+    # 3 per-cell mean broadcasts (each a 2-matmul MXU op here).
+    sxx_ref[0] = bsum(xs * xs) - sxs * (sxs / n)
+    sxy_ref[0] = bsum(xs * ys) - sxs * (sys_ / n)
+    sxz_ref[0] = bsum(xs * zs) - sxs * (szs / n)
+    syy_ref[0] = bsum(ys * ys) - sys_ * (sys_ / n)
+    syz_ref[0] = bsum(ys * zs) - sys_ * (szs / n)
+    szz_ref[0] = bsum(zs * zs) - szs * (szs / n)
 
     # --- depth continuity walks (carried-prev scans, cell_segment.cpp:62-97)
     def walk(steps):

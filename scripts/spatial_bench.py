@@ -68,23 +68,26 @@ def time_fn(fn, pts, repeats):
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    # np.asarray inside the timed region forces the device->host fetch of
-    # the scalar, so the timing always includes completed execution on the
-    # remote (tunneled) backend regardless of how its completion events map
-    # to block_until_ready. Median of 5 (AGG = "median5", recorded in the
-    # artifact): robust to one-off host hiccups in either direction; NOTE
-    # this differs from the repo's earlier min-based timings — compare
-    # artifacts only within the same "agg".
+    # Differential fetched timing (bench.py protocol, BASELINE.md "Timing
+    # through the tunnel"): np.asarray forces remote completion, and the
+    # tunnel round-trip + fixed dispatch cost cancels in T(2n) - T(n).
+    # AGG records the aggregation so artifacts are only compared within
+    # the same protocol.
     float(np.asarray(run(pts, repeats)))
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(np.asarray(run(pts, repeats)))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / repeats * 1e6
+    float(np.asarray(run(pts, 2 * repeats)))   # compile both sizes
+
+    def med(n):
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(np.asarray(run(pts, n)))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    return max(med(2 * repeats) - med(repeats), 1e-12) / repeats * 1e6
 
 
-AGG = "median5"
+AGG = "diff-median5"
 
 
 def main():
