@@ -11,7 +11,8 @@ import sys
 import numpy as np
 
 ROOT = pathlib.Path(__file__).resolve().parents[2]
-sys.path.insert(0, str(ROOT / "tests"))
+sys.path.insert(0, str(ROOT))            # deplex_tpu, from any cwd
+sys.path.insert(0, str(ROOT / "tests"))  # the shared cylinder_scene fixture
 
 
 def main():
