@@ -202,13 +202,28 @@ def main(argv=None) -> int:
     state = sharded_ba(prob)
     jax.block_until_ready(state)
 
+    # --- 3. PRODUCT path: the full keyframe-sharded LM loop across the
+    # process boundary (slam.ba.run_ba_sharded — what PlaneSlam.refine()
+    # runs on a multi-device runtime). Inputs are already placed on the
+    # global mesh; outputs stay keyframe-sharded, so each process records
+    # its local shards for the supervisor to reassemble.
+    from deplex_tpu.slam.ba import run_ba_sharded
+
+    lm_state = run_ba_sharded(prob, mesh, axis="data", iterations=4)
+    jax.block_until_ready(lm_state)
+    lm_idx, lm_R_local = _gather_local(lm_state.R)
+    _, lm_t_local = _gather_local(lm_state.t)
+
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     np.savez(out / f"proc{pid}.npz",
              process_count=nproc, device_count=ndev,
              frame_idx=frame_idx, labels=labels_local,
              ba_R=np.asarray(state.R), ba_t=np.asarray(state.t),
-             ba_eta=np.asarray(state.eta), ba_cost=np.asarray(state.cost))
+             ba_eta=np.asarray(state.eta), ba_cost=np.asarray(state.cost),
+             lm_kf_idx=lm_idx, lm_R=lm_R_local, lm_t=lm_t_local,
+             lm_eta=np.asarray(lm_state.eta),
+             lm_cost=np.asarray(lm_state.cost))
     print(f"verify proc {pid}/{nproc}: devices={ndev} frames={list(frame_idx)} "
           f"ba_cost={float(state.cost):.6f}", flush=True)
     return 0

@@ -486,6 +486,14 @@ def run_ba_sharded(problem: BAProblem, mesh=None, *, axis: str = "kf",
     n = mesh.shape[axis]
     K = problem.obs_d.shape[0]
     Kp = ((K + n - 1) // n) * n
+    if Kp != K and jax.process_count() > 1:
+        # Host-side concatenation of globally-sharded arrays is not a
+        # well-defined multi-process operation; the multi-host caller
+        # (e.g. parallel/verify.py) places inputs with K already a
+        # multiple of the mesh.
+        raise ValueError(
+            f"multi-process run_ba_sharded needs K ({K}) divisible by the "
+            f"mesh ({n}); pad the problem before placing it")
     prob = pad_problem_keyframes(problem, Kp)
 
     kf = P(axis)
@@ -506,7 +514,20 @@ def run_ba_sharded(problem: BAProblem, mesh=None, *, axis: str = "kf",
         # all_gather placement is validated by the agreement tests instead.
         check_vma=False))
     # Place inputs to match the specs (avoids a resharding copy per call).
-    prob = jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), prob, in_spec)
+    # Leaves the multi-host caller already placed (jax.Arrays with the
+    # matching sharding, e.g. via make_array_from_process_local_data) pass
+    # through — device_put cannot place host data onto non-addressable
+    # devices.
+    def place(x, s):
+        target = NamedSharding(mesh, s)
+        if isinstance(x, jax.Array) and x.sharding == target:
+            return x
+        return jax.device_put(x, target)
+
+    prob = jax.tree.map(place, prob, in_spec)
     out = fn(prob)
+    if Kp == K:
+        # No padding: return as-is (multi-process outputs stay globally
+        # sharded; slicing them eagerly would require full addressability).
+        return out
     return BAState(R=out.R[:K], t=out.t[:K], eta=out.eta, cost=out.cost)

@@ -82,6 +82,26 @@ def test_two_process_agreement(tmp_path):
     np.testing.assert_array_equal(outs[0]["ba_R"], outs[1]["ba_R"])
     np.testing.assert_array_equal(outs[0]["ba_eta"], outs[1]["ba_eta"])
 
+    # --- PRODUCT path: full LM loop (run_ba_sharded) across processes ---
+    from deplex_tpu.slam.ba import run_ba
+
+    dense_lm = run_ba(prob, iterations=4)
+    lm_idx = np.concatenate([o["lm_kf_idx"] for o in outs])
+    lm_R = np.concatenate([o["lm_R"] for o in outs])
+    lm_t = np.concatenate([o["lm_t"] for o in outs])
+    order = np.argsort(lm_idx)
+    assert sorted(lm_idx.tolist()) == list(range(8))  # disjoint kf cover
+    np.testing.assert_allclose(lm_R[order], np.asarray(dense_lm.R),
+                               atol=1e-4)
+    np.testing.assert_allclose(lm_t[order], np.asarray(dense_lm.t),
+                               rtol=5e-3, atol=0.2)
+    for o in outs:
+        np.testing.assert_allclose(o["lm_eta"], np.asarray(dense_lm.eta),
+                                   rtol=5e-3, atol=0.2)
+        np.testing.assert_allclose(o["lm_cost"], np.asarray(dense_lm.cost),
+                                   rtol=1e-2, atol=1e-4)
+    np.testing.assert_array_equal(outs[0]["lm_eta"], outs[1]["lm_eta"])
+
 
 def test_launcher_rejects_failures(tmp_path):
     from deplex_tpu.parallel.launcher import launch
