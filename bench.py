@@ -267,7 +267,7 @@ def main():
     # host sees neither.)
     from deplex_tpu.parallel.batch import extract_depth_batch
 
-    lat_chain = int(os.environ.get("BENCH_LAT_CHAIN", "25"))
+    lat_chain = int(os.environ.get("BENCH_LAT_CHAIN", "50"))
     lat_reps = int(os.environ.get("BENCH_LAT_REPEATS", "8"))
 
     @functools.partial(jax.jit, static_argnames=("n",))
