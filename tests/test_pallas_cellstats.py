@@ -144,6 +144,30 @@ def test_padded_band_plan_matches_xla():
     assert moments_band_plan(90, 8, 1280) is not None
 
 
+def test_moments_band_plan_properties():
+    """For every plausible grid: the plan's band count divides the padded
+    row count, bands are sublane-aligned, the working set fits the VMEM
+    budget, and padding is minimal-ish (< 64 rows)."""
+    from deplex_tpu.ops.cellstats import moments_band_plan
+
+    for P in (2, 4, 6, 8, 10, 12, 16):
+        for gh in (8, 10, 24, 48, 60, 90, 96, 120, 144):
+            for Wc in (128, 640, 1280):
+                plan = moments_band_plan(gh, P, Wc)
+                if plan is None:
+                    continue
+                gh_pad, S = plan
+                assert gh <= gh_pad < gh + 65
+                assert gh_pad % S == 0
+                assert (gh_pad // S) % 8 == 0
+                band_bytes = 6 * (gh_pad * P // S) * Wc * 4
+                assert band_bytes <= 6 * 1024 * 1024
+    # The shipped shapes must all be plan-covered.
+    assert moments_band_plan(48, 10, 640) == (48, 2)    # TUM VGA
+    assert moments_band_plan(120, 4, 640) == (120, 3)   # ICL VGA
+    assert moments_band_plan(90, 8, 1280) is not None   # 720p stress
+
+
 def test_supported_and_auto_policy():
     cfg = Config()                       # P=10
     assert pallas_cellstats_supported(480, 640, cfg) in (True, False)
